@@ -1,0 +1,129 @@
+"""Run/compute configuration.
+
+Mirrors the reference config layer (``src/lib/mod.rs:56-166``): the same
+field names, defaults and JSON shapes, so config JSON written for the
+reference loads unchanged.  ``ComputeConfig`` is the payload the
+reference uploads verbatim as the group(1) uniform
+(``src/lib/mod.rs:115-139``); here it is a hashable static argument to
+the jitted render step so XLA specializes on ``bounces``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class ComputeConfig:
+    """Shader-visible options (reference: ``src/lib/mod.rs:115-139``).
+
+    ``ambience`` is carried for config parity but — exactly like the
+    reference shader — never used by the lighting model
+    (``src/lib/shaders/compute.wgsl:29-30`` declares it; nothing reads
+    it).
+    """
+
+    t_min: float = 0.01
+    t_max: float = 1000.0
+    camera_light_source: float = 0.0
+    bounces: int = 4
+    eps: float = 0.0000001
+    ambience: float = 0.1
+
+    @classmethod
+    def from_json(cls, data: Mapping[str, Any] | None) -> "ComputeConfig":
+        data = dict(data or {})
+        defaults = cls()
+        return cls(
+            t_min=float(data.get("t_min", defaults.t_min)),
+            t_max=float(data.get("t_max", defaults.t_max)),
+            camera_light_source=float(
+                data.get("camera_light_source", defaults.camera_light_source)
+            ),
+            bounces=int(data.get("bounces", defaults.bounces)),
+            eps=float(data.get("eps", defaults.eps)),
+            ambience=float(data.get("ambience", defaults.ambience)),
+        )
+
+
+def _gcd_wg(width: int, height: int) -> int:
+    return math.gcd(int(width), int(height))
+
+
+@dataclasses.dataclass(frozen=True)
+class Resolution:
+    """Render-target resolution.
+
+    The reference's untagged enum ``Dynamic(wg) | Sized(w,h) |
+    Fixed{size, wg}`` (``src/lib/mod.rs:56-77``) collapses here to an
+    optional size plus an optional tile hint.  ``wg()`` reproduces the
+    reference's workgroup-size selection — GCD of the dimensions,
+    clamped so ``wg*wg <= 256`` (``src/lib/mod.rs:79-105``) — which we
+    keep as the *tile* used when carving the image into ray packets.
+    """
+
+    width: int | None = None
+    height: int | None = None
+    wg_hint: int | None = 16
+
+    @classmethod
+    def dynamic(cls, wg: int = 16) -> "Resolution":
+        return cls(width=None, height=None, wg_hint=wg)
+
+    @classmethod
+    def sized(cls, width: int, height: int) -> "Resolution":
+        return cls(width=width, height=height, wg_hint=None)
+
+    @classmethod
+    def fixed(cls, width: int, height: int, wg: int) -> "Resolution":
+        return cls(width=width, height=height, wg_hint=wg)
+
+    @classmethod
+    def from_json(cls, data: Any) -> "Resolution":
+        """Parse the reference's untagged ``Resolution`` JSON forms."""
+        if data is None:
+            return cls()
+        if isinstance(data, (int, float)):  # Dynamic(wg)
+            return cls.dynamic(int(data))
+        if isinstance(data, Mapping):
+            if "size" in data:  # Fixed { size, wg }
+                size = data["size"]
+                return cls.fixed(int(size["width"]), int(size["height"]), int(data["wg"]))
+            if "width" in data:  # Sized(PhysicalSize)
+                return cls.sized(int(data["width"]), int(data["height"]))
+        raise ValueError(f"unrecognized resolution JSON: {data!r}")
+
+    def size(self, fallback: tuple[int, int] = (640, 480)) -> tuple[int, int]:
+        if self.width is None or self.height is None:
+            return fallback
+        return (self.width, self.height)
+
+    def wg(self) -> int:
+        """Reference ``Resolution::wg`` (``src/lib/mod.rs:79-105``)."""
+        if self.wg_hint is not None:
+            dim = self.wg_hint
+        elif self.width is not None and self.height is not None:
+            dim = _gcd_wg(self.width, self.height)
+        else:
+            dim = 16
+        return 16 if dim * dim > 256 else dim
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level run config (reference: ``src/lib/mod.rs:141-166``)."""
+
+    compute: ComputeConfig = dataclasses.field(default_factory=ComputeConfig)
+    resolution: Resolution = dataclasses.field(default_factory=Resolution)
+    fps: int = 60
+
+    @classmethod
+    def from_json(cls, data: Mapping[str, Any] | None) -> "Config":
+        data = dict(data or {})
+        return cls(
+            compute=ComputeConfig.from_json(data.get("compute")),
+            resolution=Resolution.from_json(data.get("resolution")),
+            fps=int(data.get("fps", 60)),
+        )

@@ -1,0 +1,63 @@
+"""Acceleration-structure backend protocol.
+
+The reference's plugin API is the ``IntrsHandler`` trait: a handler
+returns GPU buffers plus a WGSL ``intrs()`` source string that gets
+string-spliced into the compute shader
+(``src/lib/handlers/mod.rs:52-67``, ``src/lib/shaders/mod.rs:31-83``).
+
+The TPU-native equivalent of "shader codegen" is closure capture +
+``jax.jit`` specialization: a handler builds device arrays (the
+"bind group"), may permute the scene's primitive arrays (the leaf
+reordering of ``handlers/bvh.rs:103-110``), and returns a jittable
+closest-hit function.  Static metadata (node count, stack depth) bakes
+into the compiled program exactly like the reference bakes its stack
+size into the shader source (``handlers/bvh.rs:168-187``).
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+from typing import Any
+
+from rt_rs_tpu.config import ComputeConfig
+from rt_rs_tpu.ops.shade import IntersectFn
+from rt_rs_tpu.scene import Scene
+from rt_rs_tpu.scene.arrays import SceneArrays
+
+
+@dataclasses.dataclass(frozen=True)
+class IntrsStats:
+    """Handler name + acceleration-structure byte footprint
+    (``src/lib/handlers/mod.rs:47-50``) — the source of the study's
+    memory table."""
+
+    name: str
+    size: int
+
+
+class IntrsHandler(abc.ABC):
+    """One acceleration backend (blank / naive / bvh / rf_bvh / lbvh)."""
+
+    name: str = "?"
+
+    @abc.abstractmethod
+    def build(
+        self, scene: Scene, arrays: SceneArrays
+    ) -> tuple[Any, SceneArrays]:
+        """Build device-side structures.
+
+        Returns ``(accel, arrays)`` where ``accel`` is an arbitrary
+        pytree (or ``None``) and ``arrays`` is the — possibly
+        leaf-reordered — scene to use for shading.
+        """
+
+    @abc.abstractmethod
+    def stats(self, accel: Any) -> IntrsStats:
+        ...
+
+    @abc.abstractmethod
+    def intersect_fn(
+        self, accel: Any, arrays: SceneArrays, cfg: ComputeConfig
+    ) -> IntersectFn:
+        """Return the jittable closest-hit: ``(o, d, excl) -> (t, id)``."""

@@ -1,0 +1,286 @@
+"""Camera ray generation and the Blinn/Phong bounce-lighting loop.
+
+Op-for-op parity with ``src/lib/shaders/compute.wgsl``:
+
+* ``camera_ray`` — pinhole with up = +Y and the -0.5 NDC offset
+  (compute.wgsl:103-118);
+* ``hit`` — barycentric position/normal interpolation *including the
+  reference's a/b/c corner rotation* (compute.wgsl:120-151: ``b`` is
+  read from corner ``a``, ``c`` from ``b``, ``a`` from ``c``);
+* ``lighting_diffuse`` / ``lighting_spec`` (compute.wgsl:160-175);
+* ``shadowed`` with the 0.001 normal offset (compute.wgsl:189-212);
+* the bounce loop: per-bounce closest hit, optional camera headlight,
+  per-light shadow rays, ``color += mat.color*diffuse*albedo.x +
+  white*spec*albedo.y``, attenuated by the *current* material's
+  ``albedo.z`` for bounce > 0, perfect mirror continuation
+  (compute.wgsl:219-280).
+
+Where the WGSL runs this per pixel with ``break`` on miss, the TPU
+version runs the whole ray batch with an ``active`` mask — dead rays
+simply stop contributing (static shapes; no data-dependent control
+flow, so XLA fuses the entire bounce loop into one program).
+
+Shadow rays for all L lights are traced in ONE batched intersect call of
+shape ``[L * N]`` (light-major, so each light's rays stay contiguous and
+packet-coherent) instead of the reference's per-light sequential loop.
+
+The ``intersect_fn`` argument abstracts the acceleration backend (the
+``IntrsHandler::logic`` splice point, ``src/lib/handlers/mod.rs:52-67``):
+``intersect_fn(o, d, excl) -> (t, prim_id)`` closest-hit over ``[N]``
+rays.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from rt_rs_tpu.config import ComputeConfig
+from rt_rs_tpu.scene.arrays import SceneArrays
+
+IntersectFn = Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+def _normalize(v: jax.Array) -> jax.Array:
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+
+def _reflect(e: jax.Array, n: jax.Array) -> jax.Array:
+    """WGSL ``reflect(e, n) = e - 2 * dot(e, n) * n``."""
+    return e - 2.0 * jnp.sum(e * n, axis=-1, keepdims=True) * n
+
+
+def camera_rays(
+    camera_pos: jax.Array,  # [3]
+    camera_at: jax.Array,  # [3]
+    width: int,
+    height: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Primary rays for every pixel -> (origins [H*W, 3], dirs [H*W, 3]).
+
+    Row-major pixel order: ray ``y * width + x`` corresponds to WGSL
+    invocation ``id.xy = (x, y)`` (compute.wgsl:284-293).
+    """
+    dir_ = _normalize((camera_at - camera_pos)[None, :])[0]
+    up = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
+    right = jnp.cross(dir_, up)
+
+    xs = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
+    ys = (jnp.arange(height, dtype=jnp.float32) / height) - 0.5
+    norm_x = jnp.tile(xs, height)  # [H*W]
+    norm_y = jnp.repeat(ys, width)
+
+    pt = (
+        right[None, :] * norm_x[:, None]
+        + up[None, :] * norm_y[:, None]
+        + camera_pos[None, :]
+        + dir_[None, :]
+    )
+    d = _normalize(pt - camera_pos[None, :])
+    o = jnp.broadcast_to(camera_pos[None, :], d.shape)
+    return o, d
+
+
+def hit_surface(
+    scene: SceneArrays,
+    prim_id: jax.Array,  # [N]
+    o: jax.Array,  # [N, 3]
+    d: jax.Array,  # [N, 3]
+    t: jax.Array,  # [N]
+) -> tuple[jax.Array, jax.Array]:
+    """Reference ``hit()`` -> (at [N, 3], normal [N, 3]).
+
+    Keeps the corner rotation of compute.wgsl:122-126: barycentric
+    coordinates are computed with ``a = pc``, ``b = pa``, ``c = pb`` and
+    the normals weighted ``na * v + nb * w + nc * u``.
+    """
+    at = o + d * t[:, None]
+    b = scene.pa[prim_id]
+    c = scene.pb[prim_id]
+    a = scene.pc[prim_id]
+
+    v0 = b - a
+    v1 = c - a
+    v2 = at - a
+
+    d00 = jnp.sum(v0 * v0, axis=-1)
+    d01 = jnp.sum(v0 * v1, axis=-1)
+    d11 = jnp.sum(v1 * v1, axis=-1)
+    d20 = jnp.sum(v2 * v0, axis=-1)
+    d21 = jnp.sum(v2 * v1, axis=-1)
+
+    denom = d00 * d11 - d01 * d01
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    v = (d11 * d20 - d01 * d21) / denom
+    w = (d00 * d21 - d01 * d20) / denom
+    u = 1.0 - v - w
+
+    normal = (
+        scene.na[prim_id] * v[:, None]
+        + scene.nb[prim_id] * w[:, None]
+        + scene.nc[prim_id] * u[:, None]
+    )
+    return at, _normalize(normal)
+
+
+def _light_terms(
+    light_pos: jax.Array,  # [N, 3] (already broadcast per ray)
+    strength: jax.Array,  # [N]
+    at: jax.Array,  # [N, 3]
+    normal: jax.Array,  # [N, 3]
+    ray_dir: jax.Array,  # [N, 3] current ray direction
+    spec_pow: jax.Array,  # [N]
+) -> tuple[jax.Array, jax.Array]:
+    """(diffuse, spec) intensities (compute.wgsl:160-175)."""
+    light_dir = _normalize(light_pos - at)
+    diffuse = strength * jnp.maximum(
+        0.0, jnp.sum(light_dir * normal, axis=-1)
+    )
+    refl = _reflect(-light_dir, normal)
+    spec = jnp.sum(-refl * ray_dir, axis=-1)
+    spec = jnp.power(jnp.maximum(0.0, spec), spec_pow) * strength
+    return diffuse, spec
+
+
+def _shadow_mask(
+    scene: SceneArrays,
+    intersect_fn: IntersectFn,
+    cfg: ComputeConfig,
+    light_pos: jax.Array,  # [K, N, 3]
+    at: jax.Array,  # [N, 3]
+    normal: jax.Array,  # [N, 3]
+    prim_id: jax.Array,  # [N] prim to exclude
+) -> jax.Array:
+    """``shadowed`` for K light sets at once -> bool [K, N].
+
+    One batched intersect over ``[K * N]`` rays (light-major layout).
+    """
+    k, n = light_pos.shape[0], light_pos.shape[1]
+    delta = light_pos - at[None, :, :]
+    light_dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))  # [K, N]
+    light_dir = _normalize(delta)
+
+    side = jnp.sum(light_dir * normal[None, :, :], axis=-1)  # [K, N]
+    offset = jnp.where(side[..., None] < 0.0, -0.001, 0.001) * normal[None, :, :]
+    origin = at[None, :, :] + offset
+
+    flat_o = origin.reshape(k * n, 3)
+    flat_d = light_dir.reshape(k * n, 3)
+    flat_excl = jnp.broadcast_to(prim_id[None, :], (k, n)).reshape(k * n)
+
+    t, hit_id = intersect_fn(flat_o, flat_d, flat_excl)
+    valid = (
+        (scene.prim_mat[hit_id] != -1) & (t < cfg.t_max) & (t > cfg.t_min)
+    )
+    # |shadow_hit.at - origin| == t for normalized dirs (compute.wgsl:206).
+    return valid.reshape(k, n) & (t.reshape(k, n) < light_dist)
+
+
+def render(
+    scene: SceneArrays,
+    intersect_fn: IntersectFn,
+    cfg: ComputeConfig,
+    camera_pos: jax.Array,  # [3]
+    camera_at: jax.Array,  # [3]
+    width: int,
+    height: int,
+) -> jax.Array:
+    """Full frame -> color [H, W, 3] float32 (unclamped, like the
+    rgba8unorm store input of compute.wgsl:291)."""
+    o, d = camera_rays(camera_pos, camera_at, width, height)
+    color = trace(scene, intersect_fn, cfg, o, d)
+    return color.reshape(height, width, 3)
+
+
+def trace(
+    scene: SceneArrays,
+    intersect_fn: IntersectFn,
+    cfg: ComputeConfig,
+    o: jax.Array,  # [N, 3]
+    d: jax.Array,  # [N, 3]
+) -> jax.Array:
+    """The ``lighting`` bounce loop (compute.wgsl:219-280) over a ray
+    batch -> color [N, 3]."""
+    n = o.shape[0]
+    color = jnp.zeros((n, 3), dtype=jnp.float32)
+    active = jnp.ones((n,), dtype=bool)
+    camera_origin = o  # headlight position (compute.wgsl:237)
+
+    ray_o, ray_d = o, d
+
+    num_lights = scene.num_lights
+    use_headlight = cfg.camera_light_source > 0.0
+
+    for bounce in range(cfg.bounces):
+        t, prim_id = intersect_fn(
+            ray_o, ray_d, jnp.zeros((n,), dtype=jnp.int32)
+        )
+        valid = (
+            (scene.prim_mat[prim_id] != -1)
+            & (t < cfg.t_max)
+            & (t > cfg.t_min)
+        )
+        active = active & valid
+        # Clamp ids so downstream gathers stay in-bounds for dead rays.
+        prim_id = jnp.where(active, prim_id, 0)
+
+        mat_id = jnp.maximum(scene.prim_mat[prim_id], 0)
+        mat_color = scene.mat_color[mat_id]
+        mat_albedo = scene.mat_albedo[mat_id]
+        mat_spec = scene.mat_spec[mat_id]
+
+        at, normal = hit_surface(scene, prim_id, ray_o, ray_d, t)
+
+        # Assemble the light set: scene lights (+ optional headlight).
+        light_positions = []
+        light_strengths = []
+        if use_headlight:
+            light_positions.append(camera_origin)
+            light_strengths.append(
+                jnp.full((n,), cfg.camera_light_source, dtype=jnp.float32)
+            )
+        for j in range(num_lights):
+            light_positions.append(
+                jnp.broadcast_to(scene.light_pos[j][None, :], (n, 3))
+            )
+            light_strengths.append(
+                jnp.broadcast_to(scene.light_strength[j], (n,))
+            )
+
+        diffuse = jnp.zeros((n,), dtype=jnp.float32)
+        spec = jnp.zeros((n,), dtype=jnp.float32)
+        if light_positions:
+            lp = jnp.stack(light_positions)  # [K, N, 3]
+            ls = jnp.stack(light_strengths)  # [K, N]
+            shadowed = _shadow_mask(
+                scene, intersect_fn, cfg, lp, at, normal, prim_id
+            )  # [K, N]
+            for ki in range(lp.shape[0]):
+                diff_k, spec_k = _light_terms(
+                    lp[ki], ls[ki], at, normal, ray_d, mat_spec
+                )
+                # Scene lights only contribute when strength > 0
+                # (compute.wgsl:248); the headlight entry exists only if
+                # its (static) strength > 0.
+                lit = (~shadowed[ki]) & (ls[ki] > 0.0)
+                diffuse = diffuse + jnp.where(lit, diff_k, 0.0)
+                spec = spec + jnp.where(lit, spec_k, 0.0)
+
+        color_temp = (
+            mat_color * (diffuse * mat_albedo[:, 0])[:, None]
+            + (spec * mat_albedo[:, 1])[:, None]
+        )
+        scale = 1.0 if bounce == 0 else mat_albedo[:, 2][:, None]
+        contrib = color_temp * scale
+        color = color + jnp.where(active[:, None], contrib, 0.0)
+
+        if bounce + 1 < cfg.bounces:
+            refl_dir = _normalize(_reflect(ray_d, normal))
+            side = jnp.sum(refl_dir * normal, axis=-1)
+            offset = jnp.where(side[:, None] < 0.0, -0.001, 0.001) * normal
+            ray_o = at + offset
+            ray_d = refl_dir
+
+    return color

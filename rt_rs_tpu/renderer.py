@@ -1,0 +1,169 @@
+"""The frame engine — the reference's ``State`` + event-loop analogue.
+
+The reference's ``State`` owns wgpu device/queue, builds bind groups and
+pipelines, and dispatches one compute pass per frame
+(``src/lib/state/mod.rs:191-743``, loop in ``src/lib/mod.rs:203-424``).
+On TPU there is no pipeline/bind-group machinery to manage: ``Renderer``
+packs the scene once, lets the handler build its acceleration arrays,
+and compiles ONE jitted function that turns (camera, scene arrays,
+accel) into a frame.  Per-frame "uniform updates" (camera orbit, config
+changes) are just new arguments; XLA caches the executable per static
+config (the codegen-splice equivalent of ``shaders/mod.rs:31-83``).
+
+There is no swapchain: frames come back as numpy images (headless PNG /
+animation writing — the render.wgsl blit has no TPU meaning).  The
+interactive path lives in :mod:`rt_rs_tpu.web`.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rt_rs_tpu.config import ComputeConfig, Config
+from rt_rs_tpu.handlers import get_handler
+from rt_rs_tpu.handlers.base import IntrsHandler, IntrsStats
+from rt_rs_tpu.ops import shade
+from rt_rs_tpu.scene import Scene
+from rt_rs_tpu.scene.arrays import SceneArrays
+
+
+@partial(jax.jit, static_argnames=("handler", "cfg", "width", "height"))
+def _render_jit(
+    arrays: SceneArrays,
+    accel: Any,
+    camera_pos: jax.Array,
+    camera_at: jax.Array,
+    *,
+    handler: IntrsHandler,
+    cfg: ComputeConfig,
+    width: int,
+    height: int,
+) -> jax.Array:
+    intersect = handler.intersect_fn(accel, arrays, cfg)
+    return shade.render(
+        arrays, intersect, cfg, camera_pos, camera_at, width, height
+    )
+
+
+class Renderer:
+    """Owns packed scene + accel arrays and the compiled frame fn."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        config: Config | None = None,
+        handler: str | IntrsHandler = "bvh",
+        handler_kwargs: dict[str, Any] | None = None,
+        size: tuple[int, int] | None = None,
+    ):
+        self.scene = scene
+        self.config = config or Config()
+        if isinstance(handler, IntrsHandler):
+            self.handler = handler
+        else:
+            self.handler = get_handler(handler, **(handler_kwargs or {}))
+
+        self.width, self.height = (
+            size if size is not None else self.config.resolution.size()
+        )
+
+        arrays = scene.pack()
+        self.accel, self.arrays = self.handler.build(scene, arrays)
+        self.stats: IntrsStats = self.handler.stats(self.accel)
+
+        self.camera = scene.camera
+        self.camera_controller = scene.camera_controller
+
+    # ------------------------------------------------------------------
+
+    def render_frame(self, block: bool = True) -> jax.Array:
+        """Render one frame -> [H, W, 3] float32 device array."""
+        out = _render_jit(
+            self.arrays,
+            self.accel,
+            jnp.asarray(self.camera.pos, dtype=jnp.float32),
+            jnp.asarray(self.camera.at, dtype=jnp.float32),
+            handler=self.handler,
+            cfg=self.config.compute,
+            width=self.width,
+            height=self.height,
+        )
+        if block:
+            out.block_until_ready()
+        return out
+
+    def render_image(self) -> np.ndarray:
+        """One frame as uint8 RGB (the rgba8unorm store,
+        compute.wgsl:291: clamp to [0,1], round to 8 bits)."""
+        frame = np.asarray(self.render_frame())
+        return np.round(np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    def orbit(self, mult: float) -> None:
+        """Advance the orbit camera by ``0.0314 * mult`` radians
+        (camera.rs:177-189)."""
+        self.camera = self.camera.orbited(mult)
+
+    def update_config(self, compute: ComputeConfig) -> None:
+        """Live compute-config swap (``State::update_config``,
+        state/mod.rs:731-743).  Changing static fields recompiles."""
+        self.config = Config(
+            compute=compute, resolution=self.config.resolution, fps=self.config.fps
+        )
+
+    def animate(
+        self,
+        frames: int,
+        orbit_mult: float = 1.0,
+        on_frame: Callable[[int, np.ndarray, float], None] | None = None,
+    ) -> list[float]:
+        """Render ``frames`` orbit steps; returns per-frame seconds.
+
+        This is the study's benchmark protocol driver: N frames averaged
+        over camera orbit rotations (pdf p.19 §4.2).
+        """
+        times: list[float] = []
+        for i in range(frames):
+            t0 = time.perf_counter()
+            frame = self.render_frame(block=True)
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            if on_frame is not None:
+                on_frame(i, np.asarray(frame), dt)
+            self.orbit(orbit_mult)
+        return times
+
+
+def run_headless(
+    scene_path: str,
+    handler: str = "bvh",
+    handler_kwargs: dict[str, Any] | None = None,
+    config: Config | None = None,
+    size: tuple[int, int] | None = None,
+    frames: int = 1,
+    out_path: str | None = None,
+) -> Renderer:
+    """Load a scene JSON and render; the ``demo`` binary analogue
+    (``src/demo.rs``)."""
+    scene = Scene.load(scene_path)
+    renderer = Renderer(
+        scene,
+        config=config,
+        handler=handler,
+        handler_kwargs=handler_kwargs,
+        size=size,
+    )
+    image = None
+    for _ in range(frames):
+        image = renderer.render_image()
+        renderer.orbit(1.0)
+    if out_path is not None and image is not None:
+        from rt_rs_tpu.utils.image import write_png
+
+        write_png(out_path, image)
+    return renderer
