@@ -97,6 +97,42 @@ def tri_intersect(
     return jnp.where(ok, w, t_max + 1.0)
 
 
+def tri_intersect_pairs(
+    o: jax.Array,  # [N, 3]
+    d: jax.Array,  # [N, 3]
+    pa: jax.Array,  # [N, 3] per-ray triangle corners
+    pb: jax.Array,
+    pc: jax.Array,
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+) -> jax.Array:
+    """Elementwise Möller–Trumbore: ray i vs triangle i -> t [N].
+
+    Same semantics as :func:`tri_intersect`; used by BVH leaf testing
+    where each ray has already been matched with a candidate prim.
+    """
+    e1 = pb - pa
+    e2 = pc - pa
+    p = jnp.cross(d, e2)
+    tvec = o - pa
+    q = jnp.cross(tvec, e1)
+
+    det = jnp.sum(e1 * p, axis=-1)
+    u = jnp.sum(tvec * p, axis=-1)
+    v = jnp.sum(d * q, axis=-1)
+
+    pos = det > eps
+    neg = det < -eps
+    ok = (pos & (u >= 0.0) & (u <= det) & (v >= 0.0) & (u + v <= det)) | (
+        neg & (u <= 0.0) & (u >= det) & (v <= 0.0) & (u + v >= det)
+    )
+    w = jnp.sum(e2 * q, axis=-1) / jnp.where(ok, det, 1.0)
+    ok = ok & (w <= t_max) & (w >= t_min)
+    return jnp.where(ok, w, t_max + 1.0)
+
+
 def closest_hit_bruteforce(
     o: jax.Array,  # [N, 3]
     d: jax.Array,  # [N, 3]
