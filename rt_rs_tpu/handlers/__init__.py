@@ -53,6 +53,13 @@ def _register_builtin() -> None:
     except ImportError:  # pragma: no cover
         pass
 
+    try:
+        from rt_rs_tpu.handlers.pbvh import PacketBvhIntrs
+
+        register("pbvh", PacketBvhIntrs)
+    except ImportError:  # pragma: no cover
+        pass
+
 
 _register_builtin()
 

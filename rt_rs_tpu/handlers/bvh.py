@@ -176,6 +176,7 @@ def _bvh_intersect(
     o: jax.Array,
     d: jax.Array,
     excl: jax.Array,
+    valid: jax.Array,
     *,
     t_min: float,
     t_max: float,
@@ -238,7 +239,7 @@ def _bvh_intersect(
         return idx, leaf_left, leaf_ptr, best_t, best_id
 
     init = (
-        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.where(valid, 0, end).astype(jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
         jnp.full((n,), miss_t),

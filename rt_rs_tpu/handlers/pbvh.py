@@ -1,0 +1,86 @@
+"""Packet-BVH backend: the TPU fast path (Pallas kernel).
+
+Functionally equivalent to the ``bvh`` backend (same BVH build, same
+leaf reorder, same closest-hit semantics — verified against ``naive``
+in ``tests/test_pbvh.py``), but intersection runs as the Pallas packet
+kernel of :mod:`rt_rs_tpu.ops.pallas.packet_trace`: ray tiles on VPU
+lanes, leaf-ordered 8-triangle chunks on sublanes, conservative
+interval culling instead of per-ray tree descent.
+
+This is the handler the flagship benchmarks use.  The ``bvh`` handler
+remains the reference-parity backend (stackless threaded traversal, and
+the loader for precomputed ``*.bvh.json`` checkpoints).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+
+from rt_rs_tpu.bvh import BvhData, build_bvh
+from rt_rs_tpu.config import ComputeConfig
+from rt_rs_tpu.handlers.base import IntrsHandler, IntrsStats
+from rt_rs_tpu.handlers.bvh import reorder_scene_arrays
+from rt_rs_tpu.ops.pallas.packet_trace import (
+    TriChunks,
+    build_tri_chunks,
+    packet_closest_hit,
+)
+from rt_rs_tpu.scene import Scene
+from rt_rs_tpu.scene.arrays import SceneArrays
+
+
+def _default_interpret() -> bool:
+    # Pallas TPU kernels run compiled on TPU; everywhere else (CPU
+    # tests, virtual device meshes) use the interpreter.
+    return jax.default_backend() != "tpu"
+
+
+class PacketBvhIntrs(IntrsHandler):
+    name = "Packet-BVH"
+
+    def __init__(
+        self,
+        eps: float = 0.02,
+        target_item_count: int = 2,
+        data: BvhData | None = None,
+        path: str | None = None,
+        interpret: bool | None = None,
+    ):
+        self.eps = eps
+        self.target_item_count = target_item_count
+        self._data = data
+        if path is not None:
+            self._data = BvhData.load(path)
+        self.interpret = (
+            _default_interpret() if interpret is None else interpret
+        )
+        self.bvh_data: BvhData | None = self._data
+
+    def build(self, scene: Scene, arrays: SceneArrays):
+        data = self._data
+        if data is None:
+            data = build_bvh(
+                scene, eps=self.eps, target_item_count=self.target_item_count
+            )
+        self.bvh_data = data
+        arrays = reorder_scene_arrays(arrays, data.indices)
+        chunks = build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
+        return chunks, arrays
+
+    def stats(self, accel: TriChunks) -> IntrsStats:
+        # Footprint: chunk SoA (9 comps) + chunk bounds (6 comps), f32.
+        size = accel.num_chunks * (9 * 8 + 6) * 4
+        return IntrsStats(name="Packet-BVH", size=size)
+
+    def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):
+        return partial(
+            packet_closest_hit,
+            accel,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=self.interpret,
+        )

@@ -1,0 +1,361 @@
+"""Packet ray-tracing kernel: ray tiles vs leaf-ordered triangle chunks.
+
+This is the TPU-native replacement for the reference's per-thread BVH
+stack DFS (``src/lib/handlers/bvh.rs:303-350``).  SIMT divergence has no
+TPU analogue, so the traversal is restructured around what the VPU is
+good at — dense 8x128 lattices of f32 math — and what it is bad at is
+removed entirely (no per-ray gathers, no stacks, no data-dependent
+branching inside the tile):
+
+* Primitives are kept in BVH leaf order (the reference's reorder,
+  ``bvh.rs:103-110``) and grouped into *chunks of 8 consecutive
+  triangles*; consecutive leaves are spatially adjacent, so chunk AABBs
+  stay tight.  Chunk data is SoA, transposed to ``[8, Nc]`` so a chunk
+  loads as one (8, 1) sublane vector.
+* Rays are processed in *tiles of 128* (the lane dimension).  For every
+  surviving (tile, chunk) pair the kernel evaluates all 8x128 = 1024
+  ray-triangle Möller–Trumbore tests as ~40 VPU ops on (8, 128)
+  registers — full vector utilization, zero divergence.
+* Which chunks a tile must test is decided *outside* the kernel by
+  conservative interval arithmetic (per-tile ray origin/inv-dir bounds
+  vs chunk AABBs — a dense ``[T, Nc]`` mask computed in a few hundred
+  microseconds of pure jitted JAX).  The kernel receives a compacted
+  per-tile chunk list and loops exactly ``count[t]`` times — the BVH
+  "traversal" has become a data-parallel cull + a short scalar loop.
+
+Correctness: culling is conservative (interval bounds + wobble cover
+every ray in the tile; a chunk's AABB covers its triangles), so the
+kernel sees a superset of the prims any ray could hit; the per-pair
+test is the exact Möller–Trumbore of ``rt_rs_tpu.ops.intersect``.
+Verified against the naive brute-force backend in
+``tests/test_chunk_bvh.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_TILE = 128  # rays per tile (lane dimension)
+TRI_CHUNK = 8  # triangles per chunk (sublane dimension)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriChunks:
+    """Leaf-ordered triangle soup in chunked SoA layout.
+
+    ``comp`` is ``[9, 8, Nc]`` float32: components (ax,ay,az, e1x,e1y,
+    e1z, e2x,e2y,e2z) x sublane (tri-in-chunk) x chunk.  Edge vectors
+    are precomputed (`e1 = b - a`, `e2 = c - a`) — the reference
+    recomputes them per ray per test (bvh.rs:206-207); on TPU we hoist
+    them since the mesh is static per frame.
+
+    ``bmin``/``bmax`` are ``[Nc, 3]`` chunk AABBs (with all 3 triangle
+    vertices inside).  ``first_pid`` is the prim id (in the reordered,
+    null-prefixed id space) of chunk 0 sublane 0, i.e. 1.
+    """
+
+    comp: jax.Array  # [Nc, 8, 128] float32 (9 components in lanes 0..8)
+    bmin: jax.Array  # [Nc, 3] float32
+    bmax: jax.Array  # [Nc, 3] float32
+    num_chunks: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_tri_chunks(pa: np.ndarray, pb: np.ndarray, pc: np.ndarray) -> TriChunks:
+    """Pack reordered prim corners (rows 1.. of the scene arrays; row 0
+    is the null sentinel and is excluded) into chunks."""
+    pa = np.asarray(pa, dtype=np.float32)[1:]
+    pb = np.asarray(pb, dtype=np.float32)[1:]
+    pc = np.asarray(pc, dtype=np.float32)[1:]
+    p = pa.shape[0]
+    nc = max(1, -(-p // TRI_CHUNK))
+    pad = nc * TRI_CHUNK - p
+
+    def padz(x):
+        return np.pad(x, ((0, pad), (0, 0)))
+
+    pa_, pb_, pc_ = padz(pa), padz(pb), padz(pc)  # degenerate pads -> miss
+    e1 = pb_ - pa_
+    e2 = pc_ - pa_
+
+    comp9 = np.stack(
+        [
+            pa_[:, 0], pa_[:, 1], pa_[:, 2],
+            e1[:, 0], e1[:, 1], e1[:, 2],
+            e2[:, 0], e2[:, 1], e2[:, 2],
+        ],
+        axis=1,
+    )  # [P_pad, 9]
+    # Chunk-major layout [Nc, 8, 128]: the leading dim is dynamically
+    # indexable in Mosaic (the (8, 128) tail is one native tile); the 9
+    # components sit in lanes 0..8, rest zero-padded.
+    comp = np.zeros((nc, TRI_CHUNK, RAY_TILE), dtype=np.float32)
+    comp[:, :, :9] = comp9.reshape(nc, TRI_CHUNK, 9)
+
+    tri_min = np.minimum(np.minimum(pa_, pb_), pc_)
+    tri_max = np.maximum(np.maximum(pa_, pb_), pc_)
+    if pad:
+        # Padded triangles must never enlarge chunk bounds.
+        tri_min[p:] = np.float32(np.finfo(np.float32).max)
+        tri_max[p:] = np.float32(-np.finfo(np.float32).max)
+    bmin = tri_min.reshape(nc, TRI_CHUNK, 3).min(axis=1)
+    bmax = tri_max.reshape(nc, TRI_CHUNK, 3).max(axis=1)
+
+    return TriChunks(
+        comp=jnp.asarray(comp),
+        bmin=jnp.asarray(bmin),
+        bmax=jnp.asarray(bmax),
+        num_chunks=nc,
+    )
+
+
+# ----------------------------------------------------------------------
+# Host-side conservative chunk culling (pure jitted JAX)
+
+
+def _interval_mul(u_lo, u_hi, i_lo, i_hi):
+    """Interval product bounds; NaN (0 * inf) resolves conservatively."""
+    cands = [u_lo * i_lo, u_lo * i_hi, u_hi * i_lo, u_hi * i_hi]
+    lo = cands[0]
+    hi = cands[0]
+    for c in cands[1:]:
+        lo = jnp.minimum(lo, c)
+        hi = jnp.maximum(hi, c)
+    lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)
+    hi = jnp.where(jnp.isnan(hi), jnp.inf, hi)
+    return lo, hi
+
+
+def chunk_overlap_mask(
+    o: jax.Array,  # [T, RAY_TILE, 3]
+    inv_d: jax.Array,  # [T, RAY_TILE, 3]
+    ray_valid: jax.Array,  # [T, RAY_TILE] bool
+    bmin: jax.Array,  # [Nc, 3]
+    bmax: jax.Array,  # [Nc, 3]
+    *,
+    t_min: float,
+    t_max: float,
+) -> jax.Array:
+    """Conservative [T, Nc] mask: False only if NO ray in the tile can
+    hit the chunk's AABB within the t-window."""
+    big = jnp.float32(3.0e38)
+    o_m = jnp.where(ray_valid[..., None], o, big)
+    o_lo = jnp.min(o_m, axis=1)  # [T, 3]
+    o_hi = jnp.max(jnp.where(ray_valid[..., None], o, -big), axis=1)
+    i_m = jnp.where(ray_valid[..., None], inv_d, big)
+    i_lo = jnp.min(i_m, axis=1)
+    i_hi = jnp.max(jnp.where(ray_valid[..., None], inv_d, -big), axis=1)
+
+    wob = 2e-6 + 1e-5 * jnp.maximum(jnp.abs(bmin), jnp.abs(bmax))  # [Nc, 3]
+    lo_b = bmin - wob
+    hi_b = bmax + wob
+
+    # Accumulate per-axis to keep live temporaries at [T, Nc] (a single
+    # [T, Nc, 3] formulation materializes ~10 x 150 MB buffers at 1080p
+    # and becomes HBM-bound).
+    near_lb = jnp.full((o.shape[0], bmin.shape[0]), -jnp.inf, dtype=jnp.float32)
+    far_ub = jnp.full((o.shape[0], bmin.shape[0]), jnp.inf, dtype=jnp.float32)
+    for ax in range(3):
+        a_lo = lo_b[None, :, ax] - o_hi[:, None, ax]  # [T, Nc]
+        a_hi = lo_b[None, :, ax] - o_lo[:, None, ax]
+        b_lo = hi_b[None, :, ax] - o_hi[:, None, ax]
+        b_hi = hi_b[None, :, ax] - o_lo[:, None, ax]
+        il = i_lo[:, None, ax]
+        ih = i_hi[:, None, ax]
+        p0_lo, p0_hi = _interval_mul(a_lo, a_hi, il, ih)  # t0 bounds
+        p1_lo, p1_hi = _interval_mul(b_lo, b_hi, il, ih)  # t1 bounds
+        near_lb = jnp.maximum(near_lb, jnp.minimum(p0_lo, p1_lo))
+        far_ub = jnp.minimum(far_ub, jnp.maximum(p0_hi, p1_hi))
+    any_ray = jnp.any(ray_valid, axis=1)[:, None]
+    return (
+        any_ray
+        & (near_lb <= far_ub)
+        & (far_ub >= t_min)
+        & (near_lb <= t_max)
+    )
+
+
+# ----------------------------------------------------------------------
+# The kernel
+
+
+def _mt_kernel(
+    counts_ref,  # SMEM [T] int32 (scalar prefetch): chunks per tile
+    ids_ref,  # SMEM (1, 1, Nc) int32: compacted chunk ids
+    rays_ref,  # VMEM (1, 8, RAY_TILE) f32: ox,oy,oz,dx,dy,dz,excl,pad
+    tri_ref,  # VMEM (Nc, 8, 128) f32: full chunk table
+    out_t_ref,  # VMEM (1, 1, RAY_TILE) f32
+    out_id_ref,  # VMEM (1, 1, RAY_TILE) int32
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+):
+    miss = jnp.float32(t_max + 1.0)
+    tile = pl.program_id(0)
+
+    ox = rays_ref[0, 0:1, :]  # (1, 128)
+    oy = rays_ref[0, 1:2, :]
+    oz = rays_ref[0, 2:3, :]
+    dx = rays_ref[0, 3:4, :]
+    dy = rays_ref[0, 4:5, :]
+    dz = rays_ref[0, 5:6, :]
+    excl = rays_ref[0, 6:7, :]  # prim id as f32 (exact for ids < 2^24)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, RAY_TILE), 0).astype(jnp.float32)
+
+    def chunk_body(k, carry):
+        bt, bid = carry
+        c = ids_ref[0, 0, k]
+
+        chunk = tri_ref[c]  # (8, 128); components in lanes 0..8
+        ax = chunk[:, 0:1]  # (8, 1) -> lane-broadcasts against rays
+        ay = chunk[:, 1:2]
+        az = chunk[:, 2:3]
+        e1x = chunk[:, 3:4]
+        e1y = chunk[:, 4:5]
+        e1z = chunk[:, 5:6]
+        e2x = chunk[:, 6:7]
+        e2y = chunk[:, 7:8]
+        e2z = chunk[:, 8:9]
+
+        # p = cross(d, e2): (8, 128)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        # tvec = o - a
+        tx = ox - ax
+        ty = oy - ay
+        tz = oz - az
+        # q = cross(tvec, e1)
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+
+        det = e1x * px + e1y * py + e1z * pz
+        u = tx * px + ty * py + tz * pz
+        v = dx * qx + dy * qy + dz * qz
+
+        pos = det > eps
+        neg = det < -eps
+        ok = (pos & (u >= 0.0) & (u <= det) & (v >= 0.0) & (u + v <= det)) | (
+            neg & (u <= 0.0) & (u >= det) & (v <= 0.0) & (u + v >= det)
+        )
+        w = (e2x * qx + e2y * qy + e2z * qz) / jnp.where(ok, det, 1.0)
+        # Strict window (the naive replace semantics, basic.rs:95-101).
+        ok = ok & (w > t_min) & (w < t_max)
+
+        # prim ids: reordered space, +1 for the null sentinel.
+        pid = sub + jnp.float32(1.0) + (c.astype(jnp.float32) * TRI_CHUNK)
+        ok = ok & (pid != excl)
+
+        w = jnp.where(ok, w, miss)
+        better = w < bt
+        return jnp.where(better, w, bt), jnp.where(better, pid, bid)
+
+    bt0 = jnp.full((TRI_CHUNK, RAY_TILE), miss, dtype=jnp.float32)
+    bid0 = jnp.zeros((TRI_CHUNK, RAY_TILE), dtype=jnp.float32)
+    bt, bid = jax.lax.fori_loop(0, counts_ref[tile], chunk_body, (bt0, bid0))
+
+    # Reduce the 8 sublane slots per ray; tie -> smallest prim id
+    # (matches the naive loop's first-strictly-smaller semantics).
+    best = jnp.min(bt, axis=0, keepdims=True)  # (1, 128)
+    big_id = jnp.float32(3.0e38)
+    bid_sel = jnp.where(bt == best, bid, big_id)
+    best_id = jnp.min(bid_sel, axis=0, keepdims=True)
+    out_t_ref[0, :, :] = best
+    out_id_ref[0, :, :] = jnp.where(
+        best <= t_max, best_id, 0.0
+    ).astype(jnp.int32)
+
+
+def packet_closest_hit(
+    chunks: TriChunks,
+    o: jax.Array,  # [N, 3]
+    d: jax.Array,  # [N, 3]
+    excl: jax.Array,  # [N] int32
+    valid: jax.Array | None = None,  # [N] bool live-ray mask
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Closest hit over the chunked triangle soup -> (t [N], pid [N])."""
+    n = o.shape[0]
+    nc = chunks.num_chunks
+    t_tiles = max(1, -(-n // RAY_TILE))
+    n_pad = t_tiles * RAY_TILE
+
+    def pad_rays(x, fill=0.0):
+        return jnp.pad(x, ((0, n_pad - n), (0, 0)), constant_values=fill)
+
+    o_p = pad_rays(o).reshape(t_tiles, RAY_TILE, 3)
+    d_p = pad_rays(d).reshape(t_tiles, RAY_TILE, 3)
+    excl_p = jnp.pad(excl, (0, n_pad - n)).reshape(t_tiles, RAY_TILE)
+
+    inv_d = 1.0 / d_p
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    valid = jnp.pad(valid, (0, n_pad - n)).reshape(t_tiles, RAY_TILE)
+
+    overlap = chunk_overlap_mask(
+        o_p, inv_d, valid, chunks.bmin, chunks.bmax, t_min=t_min, t_max=t_max
+    )  # [T, Nc]
+
+    # Compact chunk ids per tile: stable argsort puts overlapping
+    # chunks first, in ascending chunk order.
+    order = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(overlap, axis=1, dtype=jnp.int32)
+
+    # Ray payload: 8 sublanes = ox,oy,oz,dx,dy,dz,excl,pad.
+    rays = jnp.concatenate(
+        [
+            o_p.transpose(0, 2, 1),  # [T, 3, 128]
+            d_p.transpose(0, 2, 1),
+            excl_p[:, None, :].astype(jnp.float32),
+            jnp.zeros((t_tiles, 1, RAY_TILE), dtype=jnp.float32),
+        ],
+        axis=1,
+    )  # [T, 8, 128]
+
+    nc_pad = -(-nc // RAY_TILE) * RAY_TILE
+    ids = jnp.pad(order, ((0, 0), (0, nc_pad - nc)))
+    tri = chunks.comp
+
+    kernel = partial(_mt_kernel, t_min=t_min, t_max=t_max, eps=eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, nc_pad),
+                lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, 8, RAY_TILE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((nc, 8, RAY_TILE), lambda t, *_: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
+        ],
+    )
+    out_t, out_id = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_tiles, 1, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((t_tiles, 1, RAY_TILE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, ids[:, None, :], rays, tri)
+
+    return out_t.reshape(n_pad)[:n], out_id.reshape(n_pad)[:n]

@@ -40,7 +40,14 @@ import jax.numpy as jnp
 from rt_rs_tpu.config import ComputeConfig
 from rt_rs_tpu.scene.arrays import SceneArrays
 
-IntersectFn = Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+# (origins [N,3], dirs [N,3], excl prim [N], valid [N]) -> (t [N], prim [N])
+# `valid` marks live rays: results for invalid rays are unspecified (the
+# caller masks them); backends use it to keep dead rays from polluting
+# packet coherence.
+IntersectFn = Callable[
+    [jax.Array, jax.Array, jax.Array, jax.Array],
+    tuple[jax.Array, jax.Array],
+]
 
 
 def _normalize(v: jax.Array) -> jax.Array:
@@ -152,6 +159,7 @@ def _shadow_mask(
     at: jax.Array,  # [N, 3]
     normal: jax.Array,  # [N, 3]
     prim_id: jax.Array,  # [N] prim to exclude
+    ray_valid: jax.Array,  # [N] live-ray mask
 ) -> jax.Array:
     """``shadowed`` for K light sets at once -> bool [K, N].
 
@@ -169,8 +177,9 @@ def _shadow_mask(
     flat_o = origin.reshape(k * n, 3)
     flat_d = light_dir.reshape(k * n, 3)
     flat_excl = jnp.broadcast_to(prim_id[None, :], (k, n)).reshape(k * n)
+    flat_valid = jnp.broadcast_to(ray_valid[None, :], (k, n)).reshape(k * n)
 
-    t, hit_id = intersect_fn(flat_o, flat_d, flat_excl)
+    t, hit_id = intersect_fn(flat_o, flat_d, flat_excl, flat_valid)
     valid = (
         (scene.prim_mat[hit_id] != -1) & (t < cfg.t_max) & (t > cfg.t_min)
     )
@@ -215,7 +224,7 @@ def trace(
 
     for bounce in range(cfg.bounces):
         t, prim_id = intersect_fn(
-            ray_o, ray_d, jnp.zeros((n,), dtype=jnp.int32)
+            ray_o, ray_d, jnp.zeros((n,), dtype=jnp.int32), active
         )
         valid = (
             (scene.prim_mat[prim_id] != -1)
@@ -255,7 +264,7 @@ def trace(
             lp = jnp.stack(light_positions)  # [K, N, 3]
             ls = jnp.stack(light_strengths)  # [K, N]
             shadowed = _shadow_mask(
-                scene, intersect_fn, cfg, lp, at, normal, prim_id
+                scene, intersect_fn, cfg, lp, at, normal, prim_id, active
             )  # [K, N]
             for ki in range(lp.shape[0]):
                 diff_k, spec_k = _light_terms(

@@ -142,8 +142,9 @@ def _compare_intersect(scene, handler_name, rays=256, seed=3, **kwargs):
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     excl = jnp.zeros((rays,), dtype=jnp.int32)
 
-    t0, id0 = naive_fn(jnp.asarray(o), jnp.asarray(d), excl)
-    t1, id1 = h_fn(jnp.asarray(o), jnp.asarray(d), excl)
+    ones = jnp.ones((o.shape[0],), dtype=bool)
+    t0, id0 = naive_fn(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    t1, id1 = h_fn(jnp.asarray(o), jnp.asarray(d), excl, ones)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
     # Hit/miss agreement.
     assert ((np.asarray(id1) == 0) == (np.asarray(id0) == 0)).all()
