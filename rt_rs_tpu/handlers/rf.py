@@ -1,0 +1,181 @@
+"""RF-BVH backend: reduced-footprint 16-byte nodes.
+
+Parity with ``RfBvhIntrs`` (``src/lib/handlers/rf.rs``): the BVH is
+built with ``target_item_count = 4`` (rf.rs:64), packed into the
+16-byte record format of :mod:`rt_rs_tpu.bvh.rf` (f16 bounds, tagged
+internal/leaf records, 8-slot u16 leaf payloads, interleaved), and the
+reported footprint is ``16 B x records`` (rf.rs:216-219) — this is the
+memory-vs-speed trade the reference study measures (pdf §4.1-4.2).
+
+Unlike the plain ``bvh`` backend the scene prims are NOT reordered
+(the reference's RF handler leaves ``scene.prims`` untouched); leaves
+address prims by id through the payload slots, with 0 = empty
+(rf.rs:429-441).
+
+Traversal: the same stackless threaded walk as ``handlers/bvh.py``,
+with two RF-specific differences — node bounds are the *unpacked f16*
+values (so the f16 precision loss is honestly part of the measured
+backend, exactly as in the reference's ``unpack2x16float`` path,
+rf.rs:400-427), and leaf iteration reads prim ids from the payload
+table instead of a contiguous range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rt_rs_tpu.bvh import BvhData, build_bvh
+from rt_rs_tpu.bvh.rf import RfData, pack_rf, unpack_rf
+from rt_rs_tpu.config import ComputeConfig
+from rt_rs_tpu.handlers.base import IntrsHandler, IntrsStats
+from rt_rs_tpu.handlers.bvh import _node_slab
+from rt_rs_tpu.ops.intersect import tri_intersect_pairs
+from rt_rs_tpu.scene import Scene
+from rt_rs_tpu.scene.arrays import SceneArrays
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RfArrays:
+    node_min: jax.Array  # [N, 3] float32 (f16-roundtripped, conservative)
+    node_max: jax.Array  # [N, 3]
+    hit_link: jax.Array  # [N] int32
+    miss_link: jax.Array  # [N] int32
+    payload: jax.Array  # [N * 8] int32 prim ids (+1 space; 0 = empty)
+    leaf_count: jax.Array  # [N] int32
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    footprint: int = dataclasses.field(metadata=dict(static=True))
+
+
+class RfBvhIntrs(IntrsHandler):
+    name = "RF-BVH"
+
+    def __init__(self, eps: float = 0.02, target_item_count: int = 4):
+        """``RfBvhConfig`` parity: ``Eps(f32)`` or default eps = 0.02
+        (rf.rs:16-19, 30-37); the item count is fixed at 4 in the
+        reference (rf.rs:64) but exposed here for experiments."""
+        self.eps = eps
+        self.target_item_count = target_item_count
+        self.bvh_data: BvhData | None = None
+        self.rf_data: RfData | None = None
+
+    def build(self, scene: Scene, arrays: SceneArrays):
+        data = build_bvh(
+            scene, eps=self.eps, target_item_count=self.target_item_count
+        )
+        self.bvh_data = data
+        cover_min, cover_max = data.cover_bounds(scene)
+        rf = pack_rf(data, cover_min, cover_max)
+        self.rf_data = rf
+
+        # Unpack through the 16-byte format so traversal sees exactly
+        # the f16 bounds + payload ids the packed records hold.
+        un = unpack_rf(rf)
+        # Map record-space rows back to node space (skip payload rows).
+        node_rows = np.where(~un["is_payload"])[0]
+        assert node_rows.size == data.num_nodes
+        bmin = un["bmin"][node_rows]
+        bmax = un["bmax"][node_rows]
+        payload = un["leaf_prims"][node_rows]  # [N, 8]
+
+        hit_link, miss_link = data.escape_links()
+        accel = RfArrays(
+            node_min=jnp.asarray(bmin),
+            node_max=jnp.asarray(bmax),
+            hit_link=jnp.asarray(hit_link),
+            miss_link=jnp.asarray(miss_link),
+            payload=jnp.asarray(payload.reshape(-1).astype(np.int32)),
+            leaf_count=jnp.asarray(data.item_count.astype(np.int32)),
+            num_nodes=data.num_nodes,
+            footprint=rf.byte_size(),
+        )
+        return accel, arrays  # no prim reorder (rf.rs parity)
+
+    def stats(self, accel: RfArrays) -> IntrsStats:
+        return IntrsStats(name="RF-BVH", size=accel.footprint)
+
+    def intersect_fn(self, accel: RfArrays, arrays: SceneArrays, cfg: ComputeConfig):
+        return partial(
+            _rf_intersect,
+            accel,
+            arrays.pa,
+            arrays.pb,
+            arrays.pc,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+        )
+
+
+def _rf_intersect(
+    accel: RfArrays,
+    pa: jax.Array,
+    pb: jax.Array,
+    pc: jax.Array,
+    o: jax.Array,
+    d: jax.Array,
+    excl: jax.Array,
+    valid: jax.Array,
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+):
+    """Threaded traversal with payload-table leaf lookup (see
+    handlers/bvh.py for the cursor scheme)."""
+    n = o.shape[0]
+    end = accel.num_nodes
+    miss_t = jnp.float32(t_max + 1.0)
+    inv_d = 1.0 / d
+
+    def cond(state):
+        idx, leaf_left, _, _, _ = state
+        return jnp.any((idx < end) | (leaf_left > 0))
+
+    def body(state):
+        idx, leaf_left, leaf_ptr, best_t, best_id = state
+
+        testing = leaf_left > 0
+        pid = accel.payload[jnp.where(testing, leaf_ptr, 0)]
+        on = testing & (pid != excl) & (pid != 0)
+        pid_safe = jnp.where(on, pid, 0)
+        t = tri_intersect_pairs(
+            o, d, pa[pid_safe], pb[pid_safe], pc[pid_safe],
+            t_min=t_min, t_max=t_max, eps=eps,
+        )
+        better = on & (t > t_min) & (t < t_max) & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_id = jnp.where(better, pid_safe, best_id)
+        leaf_ptr = jnp.where(testing, leaf_ptr + 1, leaf_ptr)
+        leaf_left = jnp.where(testing, leaf_left - 1, leaf_left)
+
+        stepping = (~testing) & (idx < end)
+        safe = jnp.where(stepping, idx, 0)
+        near, far = _node_slab(
+            o, inv_d, accel.node_min[safe], accel.node_max[safe]
+        )
+        hit = stepping & (near <= far) & (far >= t_min) & (near <= best_t)
+
+        count = accel.leaf_count[safe]
+        enter_leaf = hit & (count > 0)
+        leaf_left = jnp.where(enter_leaf, count, leaf_left)
+        leaf_ptr = jnp.where(enter_leaf, safe * 8, leaf_ptr)
+
+        nxt = jnp.where(hit, accel.hit_link[safe], accel.miss_link[safe])
+        idx = jnp.where(stepping, nxt, idx)
+        return idx, leaf_left, leaf_ptr, best_t, best_id
+
+    init = (
+        jnp.where(valid, 0, end).astype(jnp.int32),
+        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.full((n,), miss_t),
+        jnp.zeros((n,), dtype=jnp.int32),
+    )
+    _, _, _, best_t, best_id = jax.lax.while_loop(cond, body, init)
+    return best_t, best_id
