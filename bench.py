@@ -1,0 +1,75 @@
+"""Headline benchmark: teatime full-fidelity frames on one chip.
+
+Reproduces the reference study's protocol — the teatime scene (3,200-tri
+teapot), 384x288, 4 bounces, 2 shadow-rayed lights, frames averaged over
+a camera orbit (pdf p.19 §4.2) — on the Pallas packet-BVH backend, and
+also reports 1080p numbers.
+
+Baseline: the reference's best handler (RfBvhIntrs) at 214.569 ms per
+compute pass on the same protocol (RX 580; BASELINE.md), i.e.
+0.515 Mrays/s of primary-equivalent throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from rt_rs_tpu.config import Config, Resolution
+from rt_rs_tpu.renderer import Renderer
+from rt_rs_tpu.scene import Scene
+
+SCENE = "/root/reference/scenes/teatime.json"
+REF_FRAME_MS = 214.569  # RF-BVH, 384x288, 4 bounces (pdf p.19 §4.2.2)
+
+
+def _sync(x) -> None:
+    np.asarray(jnp.sum(x))  # the axon tunnel's block_until_ready is async
+
+
+def bench_frames(width: int, height: int, frames: int, orbit: float = 1.0):
+    """Mean seconds/frame over `frames` orbit steps (single sync at the
+    end — per-frame host syncs would measure tunnel RTT, not compute)."""
+    r = Renderer(
+        Scene.load(SCENE),
+        config=Config(resolution=Resolution.sized(width, height)),
+        handler="pbvh",
+    )
+    _sync(r.render_frame(block=False))  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(frames):
+        out = r.render_frame(block=False)
+        r.orbit(1.0)  # study protocol: frames along a camera orbit
+    _sync(out)
+    return (time.perf_counter() - t0) / frames
+
+
+def main() -> None:
+    ms_384 = bench_frames(384, 288, frames=30) * 1e3
+    ms_1080 = bench_frames(1920, 1080, frames=10) * 1e3
+
+    mrays = 384 * 288 / (ms_384 * 1e-3) / 1e6  # primary-equivalent
+    result = {
+        "metric": (
+            "teatime 384x288 4-bounce frame time "
+            f"(1080p: {ms_1080:.1f} ms, {1920*1080/(ms_1080*1e-3)/1e6:.1f} "
+            "Mrays/s primary-equiv)"
+        ),
+        "value": round(ms_384, 3),
+        "unit": "ms/frame",
+        # >1 means faster than the reference's best handler on the same
+        # protocol (RF-BVH, 214.569 ms on RX 580).
+        "vs_baseline": round(REF_FRAME_MS / ms_384, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

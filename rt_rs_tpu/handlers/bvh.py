@@ -238,12 +238,14 @@ def _bvh_intersect(
         idx = jnp.where(stepping, nxt, idx)
         return idx, leaf_left, leaf_ptr, best_t, best_id
 
+    # Carries derive from inputs (shard_map axis-varyingness).
+    zero_i = jnp.zeros_like(d[:, 0], dtype=jnp.int32)
     init = (
-        jnp.where(valid, 0, end).astype(jnp.int32),
-        jnp.zeros((n,), dtype=jnp.int32),
-        jnp.zeros((n,), dtype=jnp.int32),
-        jnp.full((n,), miss_t),
-        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.where(valid, 0, end).astype(jnp.int32) + zero_i,
+        zero_i,
+        zero_i,
+        jnp.full_like(d[:, 0], miss_t),
+        zero_i,
     )
     _, _, _, best_t, best_id = jax.lax.while_loop(cond, body, init)
     return best_t, best_id

@@ -172,9 +172,11 @@ def closest_hit_bruteforce(
     pc_c = pc_.reshape(n_chunks, chunk, 3)
 
     miss_t = jnp.float32(t_max + 1.0)
+    # Derive carries from inputs so the axis-varyingness matches under
+    # shard_map (a constant init is unvarying; the body output varies).
     init = (
-        jnp.full((n,), miss_t, dtype=jnp.float32),
-        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.full_like(d[:, 0], miss_t),
+        jnp.zeros_like(d[:, 0], dtype=jnp.int32),
     )
 
     def body(carry, inputs):

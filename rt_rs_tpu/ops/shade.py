@@ -64,19 +64,29 @@ def camera_rays(
     camera_at: jax.Array,  # [3]
     width: int,
     height: int,
+    y_offset: jax.Array | int = 0,
+    rows: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Primary rays for every pixel -> (origins [H*W, 3], dirs [H*W, 3]).
+    """Primary rays for every pixel -> (origins [R*W, 3], dirs [R*W, 3]).
 
     Row-major pixel order: ray ``y * width + x`` corresponds to WGSL
     invocation ``id.xy = (x, y)`` (compute.wgsl:284-293).
+
+    ``y_offset``/``rows`` select a horizontal band of the image — the
+    unit of multi-chip sharding (each device renders its own band; see
+    :mod:`rt_rs_tpu.parallel`).  Defaults cover the full frame.
     """
+    if rows is None:
+        rows = height
     dir_ = _normalize((camera_at - camera_pos)[None, :])[0]
     up = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
     right = jnp.cross(dir_, up)
 
     xs = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
-    ys = (jnp.arange(height, dtype=jnp.float32) / height) - 0.5
-    norm_x = jnp.tile(xs, height)  # [H*W]
+    ys = (
+        (jnp.arange(rows, dtype=jnp.float32) + y_offset) / height
+    ) - 0.5
+    norm_x = jnp.tile(xs, rows)  # [R*W]
     norm_y = jnp.repeat(ys, width)
 
     pt = (

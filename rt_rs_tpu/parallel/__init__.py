@@ -1,0 +1,131 @@
+"""Multi-chip scaling: image-band sharding over a device mesh.
+
+The reference is strictly single-GPU — its only parallelism is the 2-D
+compute dispatch grid (``src/lib/state/mod.rs:704-708``; SURVEY.md §2).
+The TPU-native scaling story replaces that with SPMD over a
+``jax.sharding.Mesh``:
+
+* the **ray/image axis** is the data-parallel axis: each device renders
+  a horizontal band of the frame (camera rays are generated per band,
+  so no ray data ever moves between chips);
+* **scene + acceleration arrays replicate** (KBs–MBs — they ride the
+  initial broadcast, never the per-frame path);
+* the only per-frame collective is an optional ``psum`` of luminance
+  statistics (exposure metering) — pure ICI, no DCN.
+
+Works on any mesh size that divides the image height; tested on the
+8-device virtual CPU mesh (``tests/test_parallel.py``) and dry-run by
+the driver via ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from rt_rs_tpu.config import ComputeConfig
+from rt_rs_tpu.handlers.base import IntrsHandler
+from rt_rs_tpu.ops import shade
+from rt_rs_tpu.scene.arrays import SceneArrays
+
+RAY_AXIS = "rays"
+
+
+def image_mesh(n_devices: int | None = None) -> Mesh:
+    """A 1-D mesh over the ray/image axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (RAY_AXIS,))
+
+
+def make_sharded_render(
+    handler: IntrsHandler,
+    accel: Any,
+    arrays: SceneArrays,
+    cfg: ComputeConfig,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    with_metering: bool = True,
+):
+    """Build a jitted multi-chip render step.
+
+    Returns ``fn(camera_pos, camera_at) -> (frame [H, W, 3],
+    mean_luminance [])`` with the frame sharded over image bands on
+    ``mesh`` and the luminance psum-reduced across devices.
+    """
+    n_dev = mesh.devices.size
+    if height % n_dev != 0:
+        raise ValueError(
+            f"image height {height} must divide over {n_dev} devices"
+        )
+    rows_per_dev = height // n_dev
+
+    intersect = handler.intersect_fn(accel, arrays, cfg)
+
+    def band_render(row0, camera_pos, camera_at):
+        # row0: [1] per-device band start (sharded scalar).
+        o, d = shade.camera_rays(
+            camera_pos, camera_at, width, height,
+            y_offset=row0[0], rows=rows_per_dev,
+        )
+        color = shade.trace(arrays, intersect, cfg, o, d)
+        band = color.reshape(rows_per_dev, width, 3)
+        if with_metering:
+            # Cross-chip collective (ICI): global mean luminance for
+            # exposure metering.
+            lum = jnp.mean(
+                band @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+            )
+            lum = jax.lax.pmean(lum, RAY_AXIS)
+        else:
+            lum = jnp.float32(0.0)
+        return band, lum
+
+    sharded = shard_map(
+        band_render,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(), P()),
+        out_specs=(P(RAY_AXIS), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata;
+        # skip the vma check (specs above are the contract).
+        check_vma=False,
+    )
+
+    row0 = jnp.arange(n_dev, dtype=jnp.int32) * rows_per_dev
+
+    @jax.jit
+    def render(camera_pos, camera_at):
+        frame, lum = sharded(row0, camera_pos, camera_at)
+        return frame, lum[0] if lum.ndim else lum
+
+    return render
+
+
+def sharded_render_scene(
+    scene,
+    handler: IntrsHandler,
+    cfg: ComputeConfig,
+    width: int,
+    height: int,
+    mesh: Mesh | None = None,
+):
+    """Convenience: pack + build + sharded render of one frame."""
+    mesh = mesh or image_mesh()
+    arrays = scene.pack()
+    accel, arrays = handler.build(scene, arrays)
+    fn = make_sharded_render(
+        handler, accel, arrays, cfg, width, height, mesh
+    )
+    frame, lum = fn(
+        jnp.asarray(scene.camera.pos, jnp.float32),
+        jnp.asarray(scene.camera.at, jnp.float32),
+    )
+    return frame, lum

@@ -6,12 +6,19 @@ virtual CPU mesh (``xla_force_host_platform_device_count``).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize imports jax and pins the platform to
+# the axon TPU tunnel before any user code runs, so mutating
+# JAX_PLATFORMS here is too late — override the live config instead
+# (backends initialize lazily, so this still wins).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 
