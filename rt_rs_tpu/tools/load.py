@@ -1,0 +1,138 @@
+"""Full-featured runner — parity with ``src/tools/load.rs``.
+
+Handler flags mirror the reference exactly (load.rs:148-192):
+
+* ``--handler-naive``
+* ``--handler-bvh [EPS | PATH]`` — bare = defaults; a float = runtime
+  eps; anything else = path to a precomputed ``*.bvh.json``
+* ``--handler-bvh-rf [EPS]``
+* *no handler flag* = the Blank (no-op) baseline, like the reference
+* ``--handler-pbvh [EPS]`` — TPU-native Pallas packet backend (addition)
+
+Headless additions (no winit window on a TPU host): ``--frames N``
+renders N orbit-stepped frames, ``--out`` writes the last frame as PNG,
+``--benchmark`` runs the study protocol and writes ``benchmark.png``
+(BenchScheduler parity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from rt_rs_tpu.config import ComputeConfig, Config, Resolution
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="load", description=__doc__)
+    p.add_argument("--path", default="scenes/default.json")
+    p.add_argument("--handler-naive", action="store_true")
+    p.add_argument("--handler-bvh", nargs="*", default=None,
+                   metavar="EPS|PATH")
+    p.add_argument("--handler-bvh-rf", nargs="*", type=float, default=None,
+                   metavar="EPS")
+    p.add_argument("--handler-pbvh", nargs="*", default=None,
+                   metavar="EPS")
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--width", "-w", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("--workgroup-size", type=int)
+    p.add_argument("--fps", type=int)
+    p.add_argument("--bounces", type=int)
+    p.add_argument("--camera-light-strength", type=float)
+    p.add_argument("--ambience", type=float)
+    # Headless extensions
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--out", default=None, help="PNG path for the last frame")
+    p.add_argument("--bench-frames", type=int, default=200)
+    return p
+
+
+def pick_handler(args) -> tuple[str, dict]:
+    if args.handler_naive:
+        return "naive", {}
+    if args.handler_bvh is not None:
+        if len(args.handler_bvh) == 0:
+            return "bvh", {}
+        arg = args.handler_bvh[0]
+        try:
+            return "bvh", {"eps": float(arg)}
+        except ValueError:
+            if os.path.exists(arg):
+                return "bvh", {"path": arg}
+            raise SystemExit(
+                "--handler-bvh requires either:\n"
+                "  - The path to a precomputed BVH file\n"
+                "  - An epsilon value (f32)"
+            )
+    if args.handler_bvh_rf is not None:
+        if len(args.handler_bvh_rf) == 0:
+            return "rf_bvh", {}
+        return "rf_bvh", {"eps": args.handler_bvh_rf[0]}
+    if args.handler_pbvh is not None:
+        if len(args.handler_pbvh) == 0:
+            return "pbvh", {}
+        return "pbvh", {"eps": float(args.handler_pbvh[0])}
+    return "blank", {}  # reference default (load.rs:189-192)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from rt_rs_tpu.renderer import Renderer
+    from rt_rs_tpu.scene import Scene
+    from rt_rs_tpu.utils.image import write_png
+
+    args = build_parser().parse_args(argv)
+
+    # Resolution forms (load.rs:117-128).
+    if args.width and args.height and args.workgroup_size:
+        res = Resolution.fixed(args.width, args.height, args.workgroup_size)
+    elif args.width and args.height:
+        res = Resolution.sized(args.width, args.height)
+    elif args.workgroup_size:
+        res = Resolution.dynamic(args.workgroup_size)
+    else:
+        res = Resolution()
+
+    defaults = ComputeConfig()
+    compute = ComputeConfig(
+        bounces=args.bounces if args.bounces is not None else defaults.bounces,
+        camera_light_source=(
+            args.camera_light_strength
+            if args.camera_light_strength is not None
+            else defaults.camera_light_source
+        ),
+        ambience=args.ambience if args.ambience is not None else defaults.ambience,
+    )
+    config = Config(
+        compute=compute, resolution=res, fps=args.fps if args.fps else 60
+    )
+
+    handler, kwargs = pick_handler(args)
+    renderer = Renderer(
+        Scene.load(args.path), config=config, handler=handler,
+        handler_kwargs=kwargs,
+    )
+    print(f"handler: {renderer.stats.name} ({renderer.stats.size} B)")
+
+    if args.benchmark:
+        from rt_rs_tpu.timing import run_benchmark_protocol
+
+        sched, mean_ms = run_benchmark_protocol(
+            renderer, frames=args.bench_frames
+        )
+        print(f"avg frame time over {args.bench_frames} frames: {mean_ms:.3f} ms")
+        print("chart: benchmark.png")
+        return 0
+
+    image = None
+    for _ in range(args.frames):
+        image = renderer.render_image()
+        renderer.orbit(1.0)
+    if args.out and image is not None:
+        write_png(args.out, image)
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
