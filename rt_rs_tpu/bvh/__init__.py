@@ -261,7 +261,19 @@ def build_bvh(
     target_item_count: int = 2,
 ) -> BvhData:
     """Scene -> flattened BVH (reference ``Aabb::from_scene`` +
-    ``BvhData::new``; defaults from handlers/bvh.rs:33, 82)."""
+    ``BvhData::new``; defaults from handlers/bvh.rs:33, 82).
+
+    Uses the native C++ builder when built (bit-identical output,
+    ~70x faster; ``RT_NATIVE=0`` forces the NumPy oracle)."""
+    if scene.num_prims:
+        from rt_rs_tpu.native import bindings
+
+        if bindings.available():
+            built = bindings.bvh_build_native(
+                scene.vert_pos, scene.prim_indices, eps, target_item_count
+            )
+            if built is not None:
+                return BvhData(**built)
     root = build_aabb_tree(scene, eps=eps, target_item_count=target_item_count)
     return BvhData.from_tree(root)
 

@@ -53,6 +53,26 @@ def _parse_index(token: str, count: int) -> int:
 
 
 def load_obj(path: str) -> ObjMesh:
+    """Parse an OBJ file; uses the native C++ parser when built
+    (identical output; ``RT_NATIVE=0`` forces this Python path)."""
+    from rt_rs_tpu.native import bindings
+
+    if bindings.available():
+        native = bindings.obj_load_native(path)
+        if native is not None:
+            pos, norm, tri_pos, tri_norm = native
+            faces = [
+                [
+                    (int(tri_pos[t, k]), int(tri_norm[t, k]))
+                    for k in range(3)
+                ]
+                for t in range(tri_pos.shape[0])
+            ]
+            return ObjMesh(positions=pos, normals=norm, faces=faces)
+    return _load_obj_py(path)
+
+
+def _load_obj_py(path: str) -> ObjMesh:
     positions: list[list[float]] = []
     normals: list[list[float]] = []
     faces: list[list[tuple[int, int]]] = []
