@@ -60,6 +60,13 @@ def _register_builtin() -> None:
     except ImportError:  # pragma: no cover
         pass
 
+    try:
+        from rt_rs_tpu.handlers.lbvh import LbvhIntrs
+
+        register("lbvh", LbvhIntrs)
+    except ImportError:  # pragma: no cover
+        pass
+
 
 _register_builtin()
 

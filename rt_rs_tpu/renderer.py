@@ -139,6 +139,89 @@ class Renderer:
         return times
 
 
+class DynamicRenderer:
+    """Animated-geometry rendering with per-frame on-device rebuild.
+
+    The whole frame step — corner gathers from the new vertex
+    positions, LBVH Morton sort + chunking, packet tracing, shading —
+    is ONE jitted function of the vertex array, so a dynamic scene
+    stays on-chip end to end (the BASELINE.json "animated teapot with
+    per-frame BVH refit" config).
+    """
+
+    def __init__(
+        self,
+        scene: Scene,
+        config: Config | None = None,
+        size: tuple[int, int] | None = None,
+        interpret: bool | None = None,
+    ):
+        import dataclasses as _dc
+
+        from rt_rs_tpu.handlers.lbvh import build_accel_device
+        from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
+
+        self.scene = scene
+        self.config = config or Config()
+        self.width, self.height = (
+            size if size is not None else self.config.resolution.size()
+        )
+        self.camera = scene.camera
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+
+        base = scene.pack()
+        prim_idx = jnp.asarray(scene.prim_indices.astype(np.int32))
+        cfg = self.config.compute
+        width, height = self.width, self.height
+
+        def step(vert_pos, vert_norm, camera_pos, camera_at):
+            def corner(arr, c):
+                rows = arr[prim_idx[:, c]]
+                return jnp.concatenate(
+                    [jnp.zeros((1, 3), jnp.float32), rows], axis=0
+                )
+
+            arrays = _dc.replace(
+                base,
+                pa=corner(vert_pos, 0),
+                pb=corner(vert_pos, 1),
+                pc=corner(vert_pos, 2),
+                na=corner(vert_norm, 0),
+                nb=corner(vert_norm, 1),
+                nc=corner(vert_norm, 2),
+            )
+            accel, arrays = build_accel_device(arrays)
+            intersect = partial(
+                packet_closest_hit,
+                accel,
+                t_min=cfg.t_min,
+                t_max=cfg.t_max,
+                eps=cfg.eps,
+                interpret=interpret,
+            )
+            return shade.render(
+                arrays, intersect, cfg, camera_pos, camera_at, width, height
+            )
+
+        self._step = jax.jit(step)
+
+    def render_frame(
+        self, vert_pos, vert_norm=None, block: bool = True
+    ) -> jax.Array:
+        if vert_norm is None:
+            vert_norm = jnp.asarray(self.scene.vert_norm)
+        out = self._step(
+            jnp.asarray(vert_pos, jnp.float32),
+            jnp.asarray(vert_norm, jnp.float32),
+            jnp.asarray(self.camera.pos, jnp.float32),
+            jnp.asarray(self.camera.at, jnp.float32),
+        )
+        if block:
+            out.block_until_ready()
+        return out
+
+
 def run_headless(
     scene_path: str,
     handler: str = "bvh",

@@ -1,0 +1,172 @@
+"""On-device LBVH: Morton codes, Karras hierarchy, handler, dynamics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rt_rs_tpu.config import ComputeConfig, Config, Resolution
+from rt_rs_tpu.handlers import get_handler
+from rt_rs_tpu.ops.lbvh import (
+    karras_hierarchy,
+    morton_codes,
+    morton_order,
+    refit_bounds,
+)
+from rt_rs_tpu.renderer import DynamicRenderer, Renderer
+from rt_rs_tpu.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def default_scene(scenes_dir):
+    return Scene.load(str(scenes_dir / "default.json"))
+
+
+@pytest.fixture(scope="module")
+def teatime_scene(scenes_dir):
+    return Scene.load(str(scenes_dir / "teatime.json"))
+
+
+def test_morton_codes_basic():
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3)
+    pts = jnp.asarray(
+        np.array(
+            [[0, 0, 0], [1, 1, 1], [0.999, 0, 0], [0, 0.999, 0], [0, 0, 0.999]],
+            dtype=np.float32,
+        )
+    )
+    codes = np.asarray(morton_codes(pts, lo, hi))
+    assert codes[0] == 0
+    assert codes[1] == 0x3FFFFFFF  # all 30 bits set
+    # x contributes the highest interleaved bit.
+    assert codes[2] > codes[3] > codes[4]
+
+
+def test_morton_order_is_permutation(teatime_scene):
+    arrays = teatime_scene.pack()
+    pa, pb, pc = arrays.pa[1:], arrays.pb[1:], arrays.pc[1:]
+    cent = np.asarray((pa + pb + pc) / 3.0)
+    codes = morton_codes(
+        jnp.asarray(cent),
+        jnp.asarray(cent.min(0)),
+        jnp.asarray(cent.max(0)),
+    )
+    order = np.asarray(morton_order(codes))
+    assert sorted(order.tolist()) == list(range(cent.shape[0]))
+    assert np.all(np.diff(np.asarray(codes)[order].astype(np.int64)) >= 0)
+
+
+def test_karras_hierarchy_structure(teatime_scene):
+    """Radix-tree invariants: walking from the root reaches every leaf
+    exactly once; refit bounds cover leaf bounds."""
+    arrays = teatime_scene.pack()
+    pa, pb, pc = arrays.pa[1:], arrays.pb[1:], arrays.pc[1:]
+    cent = (pa + pb + pc) / 3.0
+    lo = jnp.min(cent, axis=0)
+    hi = jnp.max(cent, axis=0)
+    codes = morton_codes(cent, lo, hi)
+    order = morton_order(codes)
+    codes_sorted = codes[order]
+
+    left, right, left_leaf, right_leaf, _, _ = karras_hierarchy(codes_sorted)
+    n = codes_sorted.shape[0]
+    left, right = np.asarray(left), np.asarray(right)
+    l_leaf, r_leaf = np.asarray(left_leaf), np.asarray(right_leaf)
+
+    seen_leaves = np.zeros(n, dtype=int)
+    seen_internal = np.zeros(n - 1, dtype=int)
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        seen_internal[node] += 1
+        for child, is_leaf in ((left[node], l_leaf[node]),
+                               (right[node], r_leaf[node])):
+            if is_leaf:
+                seen_leaves[child] += 1
+            else:
+                stack.append(child)
+    assert (seen_leaves == 1).all()
+    assert (seen_internal == 1).all()
+
+    # Bounds refit covers every leaf under every ancestor.
+    tri_min = np.minimum(np.minimum(np.asarray(pa), np.asarray(pb)), np.asarray(pc))
+    tri_max = np.maximum(np.maximum(np.asarray(pa), np.asarray(pb)), np.asarray(pc))
+    o = np.asarray(order)
+    nmin, nmax = refit_bounds(
+        jnp.asarray(left), jnp.asarray(right),
+        jnp.asarray(l_leaf), jnp.asarray(r_leaf),
+        jnp.asarray(tri_min[o]), jnp.asarray(tri_max[o]),
+    )
+    nmin, nmax = np.asarray(nmin), np.asarray(nmax)
+    # Root (internal 0) covers everything.
+    assert (nmin[0] <= tri_min.min(0) + 1e-6).all()
+    assert (nmax[0] >= tri_max.max(0) - 1e-6).all()
+
+
+def _compare(scene, rays=128, seed=21):
+    cfg = ComputeConfig()
+    arrays = scene.pack()
+    naive = get_handler("naive")
+    _, na = naive.build(scene, arrays)
+    naive_fn = naive.intersect_fn(None, na, cfg)
+    h = get_handler("lbvh", interpret=True)
+    accel, ha = h.build(scene, arrays)
+    h_fn = h.intersect_fn(accel, ha, cfg)
+
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(rays, 3), scale=8.0).astype(np.float32)
+    d = rng.normal(size=(rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = jnp.zeros((rays,), dtype=jnp.int32)
+    ones = jnp.ones((rays,), dtype=bool)
+    t0, _ = naive_fn(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    t1, _ = h_fn(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
+
+
+def test_lbvh_matches_naive_default(default_scene):
+    _compare(default_scene)
+
+
+def test_lbvh_matches_naive_teatime(teatime_scene):
+    _compare(teatime_scene, rays=96, seed=22)
+
+
+def test_dynamic_rebuild(default_scene):
+    """Moving the geometry and rebuilding on-device must equal a
+    from-scratch render of the moved scene."""
+    w, h = 32, 24
+    dyn = DynamicRenderer(
+        default_scene,
+        config=Config(resolution=Resolution.sized(w, h)),
+        interpret=True,
+    )
+    shift = np.array([0.5, -0.25, 0.3], dtype=np.float32)
+    moved = default_scene.vert_pos + shift
+
+    frame_dyn = np.asarray(dyn.render_frame(moved))
+
+    import copy
+
+    moved_scene = copy.deepcopy(default_scene)
+    moved_scene.vert_pos = moved
+    frame_ref = np.asarray(
+        Renderer(
+            moved_scene,
+            config=Config(resolution=Resolution.sized(w, h)),
+            handler="naive",
+        ).render_frame()
+    )
+    np.testing.assert_allclose(frame_dyn, frame_ref, atol=1e-5)
+
+    # And animating back to the original matches the static render.
+    frame_back = np.asarray(dyn.render_frame(default_scene.vert_pos))
+    frame_static = np.asarray(
+        Renderer(
+            default_scene,
+            config=Config(resolution=Resolution.sized(w, h)),
+            handler="naive",
+        ).render_frame()
+    )
+    np.testing.assert_allclose(frame_back, frame_static, atol=1e-5)
