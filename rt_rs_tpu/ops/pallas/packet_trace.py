@@ -44,6 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 128  # rays per tile (lane dimension)
 TRI_CHUNK = 8  # triangles per chunk (sublane dimension)
+TILE_GROUP = 8  # ray tiles processed per grid step (amortizes the
+# per-step pipeline overhead, which otherwise dominates when most
+# tiles are empty: 1080p teatime went ~135 ms -> see bench history)
 
 
 @jax.tree_util.register_dataclass
@@ -188,92 +191,98 @@ def chunk_overlap_mask(
 
 def _mt_kernel(
     counts_ref,  # SMEM [T] int32 (scalar prefetch): chunks per tile
-    ids_ref,  # SMEM (1, 1, Nc) int32: compacted chunk ids
-    rays_ref,  # VMEM (1, 8, RAY_TILE) f32: ox,oy,oz,dx,dy,dz,excl,pad
+    ids_ref,  # SMEM (G, 1, Nc) int32: compacted chunk ids
+    rays_ref,  # VMEM (G, 8, RAY_TILE) f32: ox,oy,oz,dx,dy,dz,excl,pad
     tri_ref,  # VMEM (Nc, 8, 128) f32: full chunk table
-    out_t_ref,  # VMEM (1, 1, RAY_TILE) f32
-    out_id_ref,  # VMEM (1, 1, RAY_TILE) int32
+    out_t_ref,  # VMEM (G, 1, RAY_TILE) f32
+    out_id_ref,  # VMEM (G, 1, RAY_TILE) int32
     *,
     t_min: float,
     t_max: float,
     eps: float,
 ):
     miss = jnp.float32(t_max + 1.0)
-    tile = pl.program_id(0)
-
-    ox = rays_ref[0, 0:1, :]  # (1, 128)
-    oy = rays_ref[0, 1:2, :]
-    oz = rays_ref[0, 2:3, :]
-    dx = rays_ref[0, 3:4, :]
-    dy = rays_ref[0, 4:5, :]
-    dz = rays_ref[0, 5:6, :]
-    excl = rays_ref[0, 6:7, :]  # prim id as f32 (exact for ids < 2^24)
+    tile0 = pl.program_id(0) * TILE_GROUP
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, RAY_TILE), 0).astype(jnp.float32)
 
-    def chunk_body(k, carry):
-        bt, bid = carry
-        c = ids_ref[0, 0, k]
+    def subtile_body(g, _):
+        ox = rays_ref[g, 0:1, :]  # (1, 128)
+        oy = rays_ref[g, 1:2, :]
+        oz = rays_ref[g, 2:3, :]
+        dx = rays_ref[g, 3:4, :]
+        dy = rays_ref[g, 4:5, :]
+        dz = rays_ref[g, 5:6, :]
+        excl = rays_ref[g, 6:7, :]  # prim id as f32 (exact < 2^24)
 
-        chunk = tri_ref[c]  # (8, 128); components in lanes 0..8
-        ax = chunk[:, 0:1]  # (8, 1) -> lane-broadcasts against rays
-        ay = chunk[:, 1:2]
-        az = chunk[:, 2:3]
-        e1x = chunk[:, 3:4]
-        e1y = chunk[:, 4:5]
-        e1z = chunk[:, 5:6]
-        e2x = chunk[:, 6:7]
-        e2y = chunk[:, 7:8]
-        e2z = chunk[:, 8:9]
+        def chunk_body(k, carry):
+            bt, bid = carry
+            c = ids_ref[g, 0, k]
 
-        # p = cross(d, e2): (8, 128)
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        # tvec = o - a
-        tx = ox - ax
-        ty = oy - ay
-        tz = oz - az
-        # q = cross(tvec, e1)
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
+            chunk = tri_ref[c]  # (8, 128); components in lanes 0..8
+            ax = chunk[:, 0:1]  # (8, 1) -> lane-broadcasts against rays
+            ay = chunk[:, 1:2]
+            az = chunk[:, 2:3]
+            e1x = chunk[:, 3:4]
+            e1y = chunk[:, 4:5]
+            e1z = chunk[:, 5:6]
+            e2x = chunk[:, 6:7]
+            e2y = chunk[:, 7:8]
+            e2z = chunk[:, 8:9]
 
-        det = e1x * px + e1y * py + e1z * pz
-        u = tx * px + ty * py + tz * pz
-        v = dx * qx + dy * qy + dz * qz
+            # p = cross(d, e2): (8, 128)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            # tvec = o - a
+            tx = ox - ax
+            ty = oy - ay
+            tz = oz - az
+            # q = cross(tvec, e1)
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
 
-        pos = det > eps
-        neg = det < -eps
-        ok = (pos & (u >= 0.0) & (u <= det) & (v >= 0.0) & (u + v <= det)) | (
-            neg & (u <= 0.0) & (u >= det) & (v <= 0.0) & (u + v >= det)
+            det = e1x * px + e1y * py + e1z * pz
+            u = tx * px + ty * py + tz * pz
+            v = dx * qx + dy * qy + dz * qz
+
+            pos = det > eps
+            neg = det < -eps
+            ok = (pos & (u >= 0.0) & (u <= det) & (v >= 0.0) & (u + v <= det)) | (
+                neg & (u <= 0.0) & (u >= det) & (v <= 0.0) & (u + v >= det)
+            )
+            w = (e2x * qx + e2y * qy + e2z * qz) / jnp.where(ok, det, 1.0)
+            # Strict window (the naive replace semantics, basic.rs:95-101).
+            ok = ok & (w > t_min) & (w < t_max)
+
+            # prim ids: reordered space, +1 for the null sentinel.
+            pid = sub + jnp.float32(1.0) + (c.astype(jnp.float32) * TRI_CHUNK)
+            ok = ok & (pid != excl)
+
+            w = jnp.where(ok, w, miss)
+            better = w < bt
+            return jnp.where(better, w, bt), jnp.where(better, pid, bid)
+
+        bt0 = jnp.full((TRI_CHUNK, RAY_TILE), miss, dtype=jnp.float32)
+        bid0 = jnp.zeros((TRI_CHUNK, RAY_TILE), dtype=jnp.float32)
+        bt, bid = jax.lax.fori_loop(
+            0, counts_ref[tile0 + g], chunk_body, (bt0, bid0)
         )
-        w = (e2x * qx + e2y * qy + e2z * qz) / jnp.where(ok, det, 1.0)
-        # Strict window (the naive replace semantics, basic.rs:95-101).
-        ok = ok & (w > t_min) & (w < t_max)
 
-        # prim ids: reordered space, +1 for the null sentinel.
-        pid = sub + jnp.float32(1.0) + (c.astype(jnp.float32) * TRI_CHUNK)
-        ok = ok & (pid != excl)
+        # Reduce the 8 sublane slots per ray; tie -> smallest prim id
+        # (matches the naive loop's first-strictly-smaller semantics).
+        best = jnp.min(bt, axis=0, keepdims=True)  # (1, 128)
+        big_id = jnp.float32(3.0e38)
+        bid_sel = jnp.where(bt == best, bid, big_id)
+        best_id = jnp.min(bid_sel, axis=0, keepdims=True)
+        out_t_ref[g, :, :] = best
+        out_id_ref[g, :, :] = jnp.where(
+            best <= t_max, best_id, 0.0
+        ).astype(jnp.int32)
+        return 0
 
-        w = jnp.where(ok, w, miss)
-        better = w < bt
-        return jnp.where(better, w, bt), jnp.where(better, pid, bid)
-
-    bt0 = jnp.full((TRI_CHUNK, RAY_TILE), miss, dtype=jnp.float32)
-    bid0 = jnp.zeros((TRI_CHUNK, RAY_TILE), dtype=jnp.float32)
-    bt, bid = jax.lax.fori_loop(0, counts_ref[tile], chunk_body, (bt0, bid0))
-
-    # Reduce the 8 sublane slots per ray; tie -> smallest prim id
-    # (matches the naive loop's first-strictly-smaller semantics).
-    best = jnp.min(bt, axis=0, keepdims=True)  # (1, 128)
-    big_id = jnp.float32(3.0e38)
-    bid_sel = jnp.where(bt == best, bid, big_id)
-    best_id = jnp.min(bid_sel, axis=0, keepdims=True)
-    out_t_ref[0, :, :] = best
-    out_id_ref[0, :, :] = jnp.where(
-        best <= t_max, best_id, 0.0
-    ).astype(jnp.int32)
+    jax.lax.fori_loop(0, TILE_GROUP, subtile_body, 0)
 
 
 def packet_closest_hit(
@@ -292,6 +301,8 @@ def packet_closest_hit(
     n = o.shape[0]
     nc = chunks.num_chunks
     t_tiles = max(1, -(-n // RAY_TILE))
+    t_groups = -(-t_tiles // TILE_GROUP)
+    t_tiles = t_groups * TILE_GROUP
     n_pad = t_tiles * RAY_TILE
 
     def pad_rays(x, fill=0.0):
@@ -333,19 +344,19 @@ def packet_closest_hit(
     kernel = partial(_mt_kernel, t_min=t_min, t_max=t_max, eps=eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_tiles,),
+        grid=(t_groups,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, nc_pad),
+                (TILE_GROUP, 1, nc_pad),
                 lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, 8, RAY_TILE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 8, RAY_TILE), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((nc, 8, RAY_TILE), lambda t, *_: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
         ],
     )
     out_t, out_id = pl.pallas_call(

@@ -197,6 +197,37 @@ def _shadow_mask(
     return valid.reshape(k, n) & (t.reshape(k, n) < light_dist)
 
 
+def compacting(intersect_fn: IntersectFn) -> IntersectFn:
+    """Wrap a closest-hit so live rays are packed contiguously first.
+
+    After a bounce most rays are dead (~89% of teatime pixels miss);
+    without compaction they still occupy packet tiles.  A stable
+    partition keeps neighboring live rays adjacent (preserving the
+    spatial coherence packets rely on), the backend traces the packed
+    batch, and results scatter back.  This is the wavefront
+    "compaction between bounces" of the BASELINE design; the reference
+    has no analogue (SIMT threads simply diverge).
+
+    MEASURED (v5e, teatime): full-sort compaction LOSES — XLA's
+    on-device sort over millions of rays costs far more than the
+    coherence it buys (1080p frame 553 ms -> 2026 ms), because the
+    packet kernel already skips dead tiles via the validity mask and
+    static shapes mean the tile count doesn't shrink.  It is therefore
+    OFF by default (``trace(..., compact=False)``); a cheaper
+    segmented/counting pack is future work.
+    """
+
+    def wrapped(o, d, excl, valid):
+        order = jnp.argsort(~valid, stable=True)
+        inv = jnp.argsort(order, stable=True)
+        t, pid = intersect_fn(
+            o[order], d[order], excl[order], valid[order]
+        )
+        return t[inv], pid[inv]
+
+    return wrapped
+
+
 def render(
     scene: SceneArrays,
     intersect_fn: IntersectFn,
@@ -205,11 +236,12 @@ def render(
     camera_at: jax.Array,  # [3]
     width: int,
     height: int,
+    compact: bool = False,
 ) -> jax.Array:
     """Full frame -> color [H, W, 3] float32 (unclamped, like the
     rgba8unorm store input of compute.wgsl:291)."""
     o, d = camera_rays(camera_pos, camera_at, width, height)
-    color = trace(scene, intersect_fn, cfg, o, d)
+    color = trace(scene, intersect_fn, cfg, o, d, compact=compact)
     return color.reshape(height, width, 3)
 
 
@@ -219,10 +251,15 @@ def trace(
     cfg: ComputeConfig,
     o: jax.Array,  # [N, 3]
     d: jax.Array,  # [N, 3]
+    compact: bool = False,
 ) -> jax.Array:
     """The ``lighting`` bounce loop (compute.wgsl:219-280) over a ray
-    batch -> color [N, 3]."""
+    batch -> color [N, 3].
+
+    ``compact`` packs live rays before every secondary intersect (see
+    :func:`compacting`); primary rays are already dense."""
     n = o.shape[0]
+    secondary_fn = compacting(intersect_fn) if compact else intersect_fn
     color = jnp.zeros((n, 3), dtype=jnp.float32)
     active = jnp.ones((n,), dtype=bool)
     camera_origin = o  # headlight position (compute.wgsl:237)
@@ -233,7 +270,8 @@ def trace(
     use_headlight = cfg.camera_light_source > 0.0
 
     for bounce in range(cfg.bounces):
-        t, prim_id = intersect_fn(
+        bounce_fn = intersect_fn if bounce == 0 else secondary_fn
+        t, prim_id = bounce_fn(
             ray_o, ray_d, jnp.zeros((n,), dtype=jnp.int32), active
         )
         valid = (
@@ -274,7 +312,7 @@ def trace(
             lp = jnp.stack(light_positions)  # [K, N, 3]
             ls = jnp.stack(light_strengths)  # [K, N]
             shadowed = _shadow_mask(
-                scene, intersect_fn, cfg, lp, at, normal, prim_id, active
+                scene, secondary_fn, cfg, lp, at, normal, prim_id, active
             )  # [K, N]
             for ki in range(lp.shape[0]):
                 diff_k, spec_k = _light_terms(
