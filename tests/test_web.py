@@ -1,0 +1,106 @@
+"""Web viewer server tests (L7 parity: live updates, error recovery)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from rt_rs_tpu.web import WebState, make_server
+
+
+@pytest.fixture(scope="module")
+def server(scenes_dir):
+    state = WebState(
+        str(scenes_dir / "default.json"),
+        handler="naive",
+        size=(32, 24),
+    )
+    srv = make_server(state, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, state
+    srv.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, r.read()
+
+
+def _post(base, path, body=b"{}"):
+    req = urllib.request.Request(base + path, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read()
+
+
+def test_index_and_scenes(server):
+    base, _ = server
+    status, body = _get(base, "/")
+    assert status == 200 and b"rt_rs_tpu viewer" in body
+    status, body = _get(base, "/scenes")
+    names = json.loads(body)
+    assert "default" in names and "teatime" in names
+    # bvh checkpoints are not scenes
+    assert not any(n.endswith(".bvh") for n in names)
+
+
+def test_frame_png(server):
+    base, _ = server
+    status, body = _get(base, "/frame.png")
+    assert status == 200
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    status, body = _get(base, "/status")
+    s = json.loads(body)
+    assert s["handler"] == "Naive"
+    assert s["frame_ms"] > 0
+
+
+def test_scene_switch_and_failure_recovery(server):
+    base, state = server
+    # Invalid scene: next frame keeps the old scene + error note
+    # (web.rs:128-139 parity).
+    _post(base, "/scene?name=does_not_exist")
+    _get(base, "/frame.png")
+    s = json.loads(_get(base, "/status")[1])
+    assert "failed to load scene" in s["note"]
+    before = state.renderer.scene.num_prims
+    assert before == 40  # still default.json
+
+    # Valid switch works and clears the note.
+    _post(base, "/scene?name=default")
+    _get(base, "/frame.png")
+    s = json.loads(_get(base, "/status")[1])
+    assert s["note"] == ""
+
+
+def test_config_update(server):
+    base, state = server
+    _post(base, "/config", json.dumps({"bounces": 1}).encode())
+    _get(base, "/frame.png")
+    assert state.renderer.config.compute.bounces == 1
+    # partial update keeps defaults (serde(default) parity)
+    assert state.renderer.config.compute.t_max == 1000.0
+
+
+def test_viewport_update(server):
+    base, state = server
+    _post(
+        base, "/viewport",
+        json.dumps({"width": 16, "height": 12}).encode(),
+    )
+    status, body = _get(base, "/frame.png")
+    assert status == 200
+    assert state.renderer.width == 16 and state.renderer.height == 12
+
+
+def test_orbit_keys(server):
+    base, state = server
+    cam_before = state.renderer.camera.pos
+    _post(base, "/key", json.dumps({"key": "left", "pressed": True}).encode())
+    _get(base, "/frame.png")
+    _get(base, "/frame.png")
+    _post(base, "/key", json.dumps({"key": "left", "pressed": False}).encode())
+    cam_after = state.renderer.camera.pos
+    assert cam_before != cam_after
