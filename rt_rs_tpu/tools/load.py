@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--out", default=None, help="PNG path for the last frame")
     p.add_argument("--bench-frames", type=int, default=200)
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR "
+        "(the GPU-timestamp-query analogue, SURVEY §5)",
+    )
     return p
 
 
@@ -77,10 +82,14 @@ def pick_handler(args) -> tuple[str, dict]:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import contextlib
+
     from rt_rs_tpu.renderer import Renderer
     from rt_rs_tpu.scene import Scene
     from rt_rs_tpu.utils.image import write_png
+    from rt_rs_tpu.utils.log import init_logging
 
+    init_logging()
     args = build_parser().parse_args(argv)
 
     # Resolution forms (load.rs:117-128).
@@ -114,23 +123,34 @@ def main(argv: list[str] | None = None) -> int:
     )
     print(f"handler: {renderer.stats.name} ({renderer.stats.size} B)")
 
-    if args.benchmark:
-        from rt_rs_tpu.timing import run_benchmark_protocol
+    if args.profile:
+        import jax
 
-        sched, mean_ms = run_benchmark_protocol(
-            renderer, frames=args.bench_frames
-        )
-        print(f"avg frame time over {args.bench_frames} frames: {mean_ms:.3f} ms")
-        print("chart: benchmark.png")
-        return 0
+        profile_cm = jax.profiler.trace(args.profile)
+    else:
+        profile_cm = contextlib.nullcontext()
 
-    image = None
-    for _ in range(args.frames):
-        image = renderer.render_image()
-        renderer.orbit(1.0)
-    if args.out and image is not None:
-        write_png(args.out, image)
-        print(f"wrote {args.out}")
+    with profile_cm:
+        if args.benchmark:
+            from rt_rs_tpu.timing import run_benchmark_protocol
+
+            sched, mean_ms = run_benchmark_protocol(
+                renderer, frames=args.bench_frames
+            )
+            print(
+                f"avg frame time over {args.bench_frames} frames: "
+                f"{mean_ms:.3f} ms"
+            )
+            print("chart: benchmark.png")
+            return 0
+
+        image = None
+        for _ in range(args.frames):
+            image = renderer.render_image()
+            renderer.orbit(1.0)
+        if args.out and image is not None:
+            write_png(args.out, image)
+            print(f"wrote {args.out}")
     return 0
 
 
