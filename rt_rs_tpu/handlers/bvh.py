@@ -82,6 +82,7 @@ def reorder_scene_arrays(arrays: SceneArrays, indices: np.ndarray) -> SceneArray
         na=arrays.na[perm_j],
         nb=arrays.nb[perm_j],
         nc=arrays.nc[perm_j],
+        shade_table=arrays.shade_table[perm_j],
     )
 
 

@@ -94,6 +94,7 @@ def build_accel_device(arrays: SceneArrays) -> tuple[TriChunks, SceneArrays]:
         na=arrays.na[perm],
         nb=arrays.nb[perm],
         nc=arrays.nc[perm],
+        shade_table=arrays.shade_table[perm],
     )
     chunks = device_chunks(arrays.pa, arrays.pb, arrays.pc)
     return chunks, arrays

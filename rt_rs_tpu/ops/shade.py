@@ -142,6 +142,42 @@ def hit_surface(
     return at, _normalize(normal)
 
 
+def _hit_from_rows(
+    row: jax.Array,  # [N, 32] gathered shade-table rows
+    o: jax.Array,
+    d: jax.Array,
+    t: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """``hit_surface`` on pre-gathered rows (same corner rotation)."""
+    at = o + d * t[:, None]
+    b = row[:, 0:3]   # pa
+    c = row[:, 3:6]   # pb
+    a = row[:, 6:9]   # pc
+
+    v0 = b - a
+    v1 = c - a
+    v2 = at - a
+
+    d00 = jnp.sum(v0 * v0, axis=-1)
+    d01 = jnp.sum(v0 * v1, axis=-1)
+    d11 = jnp.sum(v1 * v1, axis=-1)
+    d20 = jnp.sum(v2 * v0, axis=-1)
+    d21 = jnp.sum(v2 * v1, axis=-1)
+
+    denom = d00 * d11 - d01 * d01
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    v = (d11 * d20 - d01 * d21) / denom
+    w = (d00 * d21 - d01 * d20) / denom
+    u = 1.0 - v - w
+
+    normal = (
+        row[:, 9:12] * v[:, None]
+        + row[:, 12:15] * w[:, None]
+        + row[:, 15:18] * u[:, None]
+    )
+    return at, _normalize(normal)
+
+
 def _light_terms(
     light_pos: jax.Array,  # [N, 3] (already broadcast per ray)
     strength: jax.Array,  # [N]
@@ -190,9 +226,12 @@ def _shadow_mask(
     flat_valid = jnp.broadcast_to(ray_valid[None, :], (k, n)).reshape(k * n)
 
     t, hit_id = intersect_fn(flat_o, flat_d, flat_excl, flat_valid)
-    valid = (
-        (scene.prim_mat[hit_id] != -1) & (t < cfg.t_max) & (t > cfg.t_min)
-    )
+    if scene.no_negative_materials:
+        # prim 0 is the only material==-1 prim -> skip the gather.
+        real = hit_id != 0
+    else:
+        real = scene.prim_mat[hit_id] != -1
+    valid = real & (t < cfg.t_max) & (t > cfg.t_min)
     # |shadow_hit.at - origin| == t for normalized dirs (compute.wgsl:206).
     return valid.reshape(k, n) & (t.reshape(k, n) < light_dist)
 
@@ -274,21 +313,20 @@ def trace(
         t, prim_id = bounce_fn(
             ray_o, ray_d, jnp.zeros((n,), dtype=jnp.int32), active
         )
+        prim_id = jnp.where(active, prim_id, 0)
+        # ONE [N, 32] row gather supplies everything about the hit prim
+        # (corners, normals, material; see SceneArrays.shade_table).
+        row = scene.shade_table[prim_id]
         valid = (
-            (scene.prim_mat[prim_id] != -1)
-            & (t < cfg.t_max)
-            & (t > cfg.t_min)
+            (row[:, 25] != -1.0) & (t < cfg.t_max) & (t > cfg.t_min)
         )
         active = active & valid
-        # Clamp ids so downstream gathers stay in-bounds for dead rays.
-        prim_id = jnp.where(active, prim_id, 0)
 
-        mat_id = jnp.maximum(scene.prim_mat[prim_id], 0)
-        mat_color = scene.mat_color[mat_id]
-        mat_albedo = scene.mat_albedo[mat_id]
-        mat_spec = scene.mat_spec[mat_id]
+        mat_color = row[:, 18:21]
+        mat_albedo = row[:, 21:24]
+        mat_spec = row[:, 24]
 
-        at, normal = hit_surface(scene, prim_id, ray_o, ray_d, t)
+        at, normal = _hit_from_rows(row, ray_o, ray_d, t)
 
         # Assemble the light set: scene lights (+ optional headlight).
         light_positions = []

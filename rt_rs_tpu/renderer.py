@@ -190,7 +190,7 @@ class DynamicRenderer:
                 na=corner(vert_norm, 0),
                 nb=corner(vert_norm, 1),
                 nc=corner(vert_norm, 2),
-            )
+            ).rebuild_shade_table()
             accel, arrays = build_accel_device(arrays)
             intersect = partial(
                 packet_closest_hit,

@@ -48,6 +48,17 @@ class SceneArrays:
     mat_color: jax.Array
     mat_albedo: jax.Array
     mat_spec: jax.Array
+    # Combined per-prim shading row [P, 32] float32: everything the
+    # bounce loop needs about a hit prim in ONE gather (measured on
+    # v5e: ten separate [N,3] gathers cost 55 ms at 2M rays; one
+    # [N,32] row gather costs 8 ms).  Layout: pa pb pc na nb nc
+    # mat_color mat_albedo (3 each) | mat_spec | prim_mat | pad.
+    shade_table: jax.Array
+    # True if no *real* prim carries material -1 (all bundled scenes):
+    # lets validity checks use `prim_id != 0` instead of a gather.
+    no_negative_materials: bool = dataclasses.field(
+        metadata=dict(static=True), default=True
+    )
 
     @property
     def num_prims(self) -> int:
@@ -84,20 +95,56 @@ class SceneArrays:
             mat_albedo = np.zeros((1, 3), dtype=np.float32)
             mat_spec = np.zeros((1,), dtype=np.float32)
 
+        pa_, pb_, pc_ = corner(vp, 0), corner(vp, 1), corner(vp, 2)
+        na_, nb_, nc_ = corner(vn, 0), corner(vn, 1), corner(vn, 2)
+        mat_id = np.maximum(prim_mat, 0)
+        table = np.zeros((p + 1, 32), dtype=np.float32)
+        table[:, 0:3] = pa_
+        table[:, 3:6] = pb_
+        table[:, 6:9] = pc_
+        table[:, 9:12] = na_
+        table[:, 12:15] = nb_
+        table[:, 15:18] = nc_
+        table[:, 18:21] = mat_color[mat_id]
+        table[:, 21:24] = mat_albedo[mat_id]
+        table[:, 24] = mat_spec[mat_id]
+        table[:, 25] = prim_mat.astype(np.float32)
+
         return cls(
             prim_mat=jnp.asarray(prim_mat),
-            pa=jnp.asarray(corner(vp, 0)),
-            pb=jnp.asarray(corner(vp, 1)),
-            pc=jnp.asarray(corner(vp, 2)),
-            na=jnp.asarray(corner(vn, 0)),
-            nb=jnp.asarray(corner(vn, 1)),
-            nc=jnp.asarray(corner(vn, 2)),
+            pa=jnp.asarray(pa_),
+            pb=jnp.asarray(pb_),
+            pc=jnp.asarray(pc_),
+            na=jnp.asarray(na_),
+            nb=jnp.asarray(nb_),
+            nc=jnp.asarray(nc_),
             light_pos=jnp.asarray(scene.light_pos.astype(np.float32).reshape(-1, 3)),
             light_strength=jnp.asarray(scene.light_strength.astype(np.float32)),
             mat_color=jnp.asarray(mat_color),
             mat_albedo=jnp.asarray(mat_albedo),
             mat_spec=jnp.asarray(mat_spec),
+            shade_table=jnp.asarray(table),
+            no_negative_materials=bool((prim_mat[1:] >= 0).all()) if p else True,
         )
+
+    def rebuild_shade_table(self) -> "SceneArrays":
+        """Recompute ``shade_table`` from the (possibly updated) per-prim
+        arrays — jit-traceable, for dynamic-geometry paths."""
+        mat_id = jnp.maximum(self.prim_mat, 0)
+        p1 = self.prim_mat.shape[0]
+        table = jnp.concatenate(
+            [
+                self.pa, self.pb, self.pc,
+                self.na, self.nb, self.nc,
+                self.mat_color[mat_id],
+                self.mat_albedo[mat_id],
+                self.mat_spec[mat_id][:, None],
+                self.prim_mat.astype(jnp.float32)[:, None],
+                jnp.zeros((p1, 6), dtype=jnp.float32),
+            ],
+            axis=1,
+        )
+        return dataclasses.replace(self, shade_table=table)
 
     def byte_size(self) -> int:
         """Total geometry bytes, for `IntrsStats`-style reporting."""
