@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="PNG path for the last frame")
     p.add_argument("--bench-frames", type=int, default=200)
     p.add_argument(
+        "--gif", default=None, metavar="PATH",
+        help="render one full camera orbit as an animated GIF",
+    )
+    p.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the run into DIR "
         "(the GPU-timestamp-query analogue, SURVEY §5)",
@@ -83,6 +87,8 @@ def pick_handler(args) -> tuple[str, dict]:
 
 def main(argv: list[str] | None = None) -> int:
     import contextlib
+
+    import numpy as np
 
     from rt_rs_tpu.renderer import Renderer
     from rt_rs_tpu.scene import Scene
@@ -142,6 +148,18 @@ def main(argv: list[str] | None = None) -> int:
                 f"{mean_ms:.3f} ms"
             )
             print("chart: benchmark.png")
+            return 0
+
+        if args.gif:
+            from rt_rs_tpu.utils.animation import render_orbit_gif
+
+            times = render_orbit_gif(
+                renderer, args.gif, frames=max(args.frames, 24)
+            )
+            print(
+                f"wrote {args.gif} "
+                f"({len(times)} frames, avg {np.mean(times) * 1e3:.1f} ms)"
+            )
             return 0
 
         image = None
