@@ -51,16 +51,41 @@ def bench_frames(width: int, height: int, frames: int, orbit: float = 1.0):
     return (time.perf_counter() - t0) / frames
 
 
+def bench_lbvh_build() -> float:
+    """On-device LBVH build of cessna (~3.8K tris) -> ms (the
+    BASELINE.json 'LBVH build ms (cessna)' metric)."""
+    import jax
+
+    from rt_rs_tpu.handlers.lbvh import build_accel_device
+    from rt_rs_tpu.scene.obj import load_obj
+
+    scene = Scene.empty()
+    scene.add_mesh(load_obj("/root/reference/meshes/cessna.obj"), 0)
+    scene.mat_color = np.array([[0.5, 0.1, 0.1]], np.float32)
+    scene.mat_albedo = np.array([[0.9, 0.1, 0.0]], np.float32)
+    scene.mat_spec = np.array([10.0], np.float32)
+    arrays = scene.pack()
+    f = jax.jit(build_accel_device)
+    chunks, _ = f(arrays)
+    _sync(chunks.bmin)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        chunks, _ = f(arrays)
+    _sync(chunks.bmin)
+    return (time.perf_counter() - t0) / 20 * 1e3
+
+
 def main() -> None:
     ms_384 = bench_frames(384, 288, frames=30) * 1e3
     ms_1080 = bench_frames(1920, 1080, frames=10) * 1e3
+    lbvh_ms = bench_lbvh_build()
 
-    mrays = 384 * 288 / (ms_384 * 1e-3) / 1e6  # primary-equivalent
     result = {
         "metric": (
             "teatime 384x288 4-bounce frame time "
             f"(1080p: {ms_1080:.1f} ms, {1920*1080/(ms_1080*1e-3)/1e6:.1f} "
-            "Mrays/s primary-equiv)"
+            f"Mrays/s primary-equiv; cessna on-device LBVH build "
+            f"{lbvh_ms:.2f} ms)"
         ),
         "value": round(ms_384, 3),
         "unit": "ms/frame",

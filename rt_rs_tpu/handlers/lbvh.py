@@ -29,6 +29,7 @@ from rt_rs_tpu.config import ComputeConfig
 from rt_rs_tpu.handlers.base import IntrsHandler, IntrsStats
 from rt_rs_tpu.ops.lbvh import morton_codes, morton_order
 from rt_rs_tpu.ops.pallas.packet_trace import (
+    MAX_VMEM_CHUNKS,
     RAY_TILE,
     TRI_CHUNK,
     TriChunks,
@@ -47,6 +48,11 @@ def device_chunks(pa: jax.Array, pb: jax.Array, pc: jax.Array) -> TriChunks:
     pa, pb, pc = pa[1:], pb[1:], pc[1:]
     p = pa.shape[0]
     nc = max(1, -(-p // TRI_CHUNK))
+    if nc > MAX_VMEM_CHUNKS:
+        raise ValueError(
+            f"{p} triangles -> {nc} chunks exceeds the packet kernel's "
+            f"VMEM limit ({MAX_VMEM_CHUNKS}); use the 'bvh' handler"
+        )
     pad = nc * TRI_CHUNK - p
 
     def padz(x):

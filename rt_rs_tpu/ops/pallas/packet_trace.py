@@ -44,6 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 128  # rays per tile (lane dimension)
 TRI_CHUNK = 8  # triangles per chunk (sublane dimension)
+# The chunk table lives wholly in VMEM ([Nc, 8, 128] f32 = 4 KB/chunk);
+# cap it well under the ~16 MB budget.  Scenes beyond ~12K triangles
+# need the threaded `bvh` backend until chunk streaming (double-buffered
+# HBM->VMEM DMA) lands.
+MAX_VMEM_CHUNKS = 1536
 TILE_GROUP = 8  # ray tiles processed per grid step (amortizes the
 # per-step pipeline overhead, which otherwise dominates when most
 # tiles are empty: 1080p teatime went ~135 ms -> see bench history)
@@ -79,6 +84,13 @@ def build_tri_chunks(pa: np.ndarray, pb: np.ndarray, pc: np.ndarray) -> TriChunk
     pc = np.asarray(pc, dtype=np.float32)[1:]
     p = pa.shape[0]
     nc = max(1, -(-p // TRI_CHUNK))
+    if nc > MAX_VMEM_CHUNKS:
+        raise ValueError(
+            f"scene has {p} triangles -> {nc} chunks, exceeding the "
+            f"packet kernel's VMEM-resident limit ({MAX_VMEM_CHUNKS} "
+            f"chunks / ~{MAX_VMEM_CHUNKS * TRI_CHUNK} tris). Use the "
+            "'bvh' handler for larger scenes."
+        )
     pad = nc * TRI_CHUNK - p
 
     def padz(x):
