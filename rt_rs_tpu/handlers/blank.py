@@ -30,7 +30,7 @@ class BlankIntrs(IntrsHandler):
     def intersect_fn(self, accel, arrays, cfg: ComputeConfig):
         miss_t = jnp.float32(cfg.t_max + 1.0)
 
-        def intersect(o, d, excl, valid):
+        def intersect(o, d, excl, valid, t_cap=None):
             n = o.shape[0]
             return (
                 jnp.full((n,), miss_t, dtype=jnp.float32),

@@ -178,6 +178,7 @@ def _bvh_intersect(
     d: jax.Array,
     excl: jax.Array,
     valid: jax.Array,
+    t_cap: jax.Array | None = None,
     *,
     t_min: float,
     t_max: float,

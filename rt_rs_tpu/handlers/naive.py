@@ -48,7 +48,7 @@ class BasicIntrs(IntrsHandler):
         )
 
 
-def _naive_intersect(pa, pb, pc, o, d, excl, valid, *, t_min, t_max, eps, chunk):
+def _naive_intersect(pa, pb, pc, o, d, excl, valid, t_cap=None, *, t_min, t_max, eps, chunk):
     return closest_hit_bruteforce(
         o, d, pa, pb, pc, excl, t_min=t_min, t_max=t_max, eps=eps, chunk=chunk
     )

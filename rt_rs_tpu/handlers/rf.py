@@ -121,6 +121,7 @@ def _rf_intersect(
     d: jax.Array,
     excl: jax.Array,
     valid: jax.Array,
+    t_cap: jax.Array | None = None,
     *,
     t_min: float,
     t_max: float,

@@ -157,6 +157,7 @@ def chunk_overlap_mask(
     *,
     t_min: float,
     t_max: float,
+    t_cap: jax.Array | None = None,  # [T, RAY_TILE] per-ray upper bound
 ) -> jax.Array:
     """Conservative [T, Nc] mask: False only if NO ray in the tile can
     hit the chunk's AABB within the t-window."""
@@ -303,13 +304,20 @@ def packet_closest_hit(
     d: jax.Array,  # [N, 3]
     excl: jax.Array,  # [N] int32
     valid: jax.Array | None = None,  # [N] bool live-ray mask
+    t_cap: jax.Array | None = None,  # [N] per-ray t upper bound (culling)
     *,
     t_min: float,
     t_max: float,
     eps: float,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Closest hit over the chunked triangle soup -> (t [N], pid [N])."""
+    """Closest hit over the chunked triangle soup -> (t [N], pid [N]).
+
+    ``t_cap`` tightens chunk culling only (results are still exact
+    closest hits up to ``t_max``): callers that only consume hits below
+    a per-ray bound — shadow rays vs their light distance — let whole
+    chunks beyond the bound be skipped.  Hits beyond a ray's cap may or
+    may not be reported; callers must not rely on them."""
     n = o.shape[0]
     nc = chunks.num_chunks
     t_tiles = max(1, -(-n // RAY_TILE))
@@ -329,8 +337,14 @@ def packet_closest_hit(
         valid = jnp.ones((n,), dtype=bool)
     valid = jnp.pad(valid, (0, n_pad - n)).reshape(t_tiles, RAY_TILE)
 
+    cap_p = (
+        None
+        if t_cap is None
+        else jnp.pad(t_cap, (0, n_pad - n)).reshape(t_tiles, RAY_TILE)
+    )
     overlap = chunk_overlap_mask(
-        o_p, inv_d, valid, chunks.bmin, chunks.bmax, t_min=t_min, t_max=t_max
+        o_p, inv_d, valid, chunks.bmin, chunks.bmax,
+        t_min=t_min, t_max=t_max, t_cap=cap_p,
     )  # [T, Nc]
 
     # Compact chunk ids per tile: stable argsort puts overlapping

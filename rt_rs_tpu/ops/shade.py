@@ -225,7 +225,10 @@ def _shadow_mask(
     flat_excl = jnp.broadcast_to(prim_id[None, :], (k, n)).reshape(k * n)
     flat_valid = jnp.broadcast_to(ray_valid[None, :], (k, n)).reshape(k * n)
 
-    t, hit_id = intersect_fn(flat_o, flat_d, flat_excl, flat_valid)
+    flat_cap = light_dist.reshape(k * n)
+    t, hit_id = intersect_fn(
+        flat_o, flat_d, flat_excl, flat_valid, t_cap=flat_cap
+    )
     if scene.no_negative_materials:
         # prim 0 is the only material==-1 prim -> skip the gather.
         real = hit_id != 0
@@ -256,11 +259,12 @@ def compacting(intersect_fn: IntersectFn) -> IntersectFn:
     segmented/counting pack is future work.
     """
 
-    def wrapped(o, d, excl, valid):
+    def wrapped(o, d, excl, valid, t_cap=None):
         order = jnp.argsort(~valid, stable=True)
         inv = jnp.argsort(order, stable=True)
         t, pid = intersect_fn(
-            o[order], d[order], excl[order], valid[order]
+            o[order], d[order], excl[order], valid[order],
+            t_cap=None if t_cap is None else t_cap[order],
         )
         return t[inv], pid[inv]
 
