@@ -299,6 +299,12 @@ def trace(
     """The ``lighting`` bounce loop (compute.wgsl:219-280) over a ray
     batch -> color [N, 3].
 
+    Wavefront restructuring: each bounce's shadow rays (all lights) and
+    the NEXT bounce's reflection rays depend only on the current hit,
+    so they are traced in ONE fused intersect call of (K+1)*N rays —
+    fewer kernel launches and culling preludes than the reference's
+    sequential per-light loop + per-bounce intersect.
+
     ``compact`` packs live rays before every secondary intersect (see
     :func:`compacting`); primary rays are already dense."""
     n = o.shape[0]
@@ -312,11 +318,11 @@ def trace(
     num_lights = scene.num_lights
     use_headlight = cfg.camera_light_source > 0.0
 
+    t, prim_id = intersect_fn(
+        ray_o, ray_d, jnp.zeros((n,), dtype=jnp.int32), active
+    )
+
     for bounce in range(cfg.bounces):
-        bounce_fn = intersect_fn if bounce == 0 else secondary_fn
-        t, prim_id = bounce_fn(
-            ray_o, ray_d, jnp.zeros((n,), dtype=jnp.int32), active
-        )
         prim_id = jnp.where(active, prim_id, 0)
         # ONE [N, 32] row gather supplies everything about the hit prim
         # (corners, normals, material; see SceneArrays.shade_table).
@@ -331,6 +337,7 @@ def trace(
         mat_spec = row[:, 24]
 
         at, normal = _hit_from_rows(row, ray_o, ray_d, t)
+        cur_d = ray_d  # this bounce's direction (used by specular)
 
         # Assemble the light set: scene lights (+ optional headlight).
         light_positions = []
@@ -347,22 +354,84 @@ def trace(
             light_strengths.append(
                 jnp.broadcast_to(scene.light_strength[j], (n,))
             )
+        k = len(light_positions)
+
+        # Shadow-ray geometry (compute.wgsl:189-212).
+        if k:
+            lp = jnp.stack(light_positions)  # [K, N, 3]
+            ls = jnp.stack(light_strengths)  # [K, N]
+            delta = lp - at[None, :, :]
+            light_dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))  # [K, N]
+            light_dir = _normalize(delta)
+            side = jnp.sum(light_dir * normal[None, :, :], axis=-1)
+            s_off = (
+                jnp.where(side[..., None] < 0.0, -0.001, 0.001)
+                * normal[None, :, :]
+            )
+            shadow_o = (at[None, :, :] + s_off).reshape(k * n, 3)
+            shadow_d = light_dir.reshape(k * n, 3)
+            shadow_excl = jnp.broadcast_to(prim_id[None, :], (k, n)).reshape(
+                k * n
+            )
+            shadow_valid = jnp.broadcast_to(active[None, :], (k, n)).reshape(
+                k * n
+            )
+            shadow_cap = light_dist.reshape(k * n)
+
+        last = bounce + 1 >= cfg.bounces
+        if not last:
+            # Reflection continuation (compute.wgsl:267-276).
+            refl_dir = _normalize(_reflect(cur_d, normal))
+            r_side = jnp.sum(refl_dir * normal, axis=-1)
+            r_off = jnp.where(r_side[:, None] < 0.0, -0.001, 0.001) * normal
+            next_o = at + r_off
+            next_d = refl_dir
+
+        # ONE fused secondary trace: K*N shadow rays + N reflection rays.
+        if k and not last:
+            all_o = jnp.concatenate([shadow_o, next_o])
+            all_d = jnp.concatenate([shadow_d, next_d])
+            all_excl = jnp.concatenate(
+                [shadow_excl, jnp.zeros((n,), dtype=shadow_excl.dtype)]
+            )
+            all_valid = jnp.concatenate([shadow_valid, active])
+            all_cap = jnp.concatenate(
+                [shadow_cap, jnp.full((n,), cfg.t_max, dtype=jnp.float32)]
+            )
+            st, sid = secondary_fn(
+                all_o, all_d, all_excl, all_valid, t_cap=all_cap
+            )
+            sh_t, sh_id = st[: k * n], sid[: k * n]
+            t, prim_id = st[k * n :], sid[k * n :]
+            ray_o, ray_d = next_o, next_d
+        elif k:
+            sh_t, sh_id = secondary_fn(
+                shadow_o, shadow_d, shadow_excl, shadow_valid,
+                t_cap=shadow_cap,
+            )
+        elif not last:
+            t, prim_id = secondary_fn(
+                next_o, next_d, jnp.zeros((n,), dtype=jnp.int32), active
+            )
+            ray_o, ray_d = next_o, next_d
 
         diffuse = jnp.zeros((n,), dtype=jnp.float32)
         spec = jnp.zeros((n,), dtype=jnp.float32)
-        if light_positions:
-            lp = jnp.stack(light_positions)  # [K, N, 3]
-            ls = jnp.stack(light_strengths)  # [K, N]
-            shadowed = _shadow_mask(
-                scene, secondary_fn, cfg, lp, at, normal, prim_id, active
-            )  # [K, N]
-            for ki in range(lp.shape[0]):
+        if k:
+            if scene.no_negative_materials:
+                real = sh_id != 0
+            else:
+                real = scene.prim_mat[sh_id] != -1
+            sh_valid = real & (sh_t < cfg.t_max) & (sh_t > cfg.t_min)
+            # |shadow_hit.at - origin| == t (compute.wgsl:206).
+            shadowed = (
+                sh_valid.reshape(k, n)
+                & (sh_t.reshape(k, n) < light_dist)
+            )
+            for ki in range(k):
                 diff_k, spec_k = _light_terms(
-                    lp[ki], ls[ki], at, normal, ray_d, mat_spec
+                    lp[ki], ls[ki], at, normal, cur_d, mat_spec
                 )
-                # Scene lights only contribute when strength > 0
-                # (compute.wgsl:248); the headlight entry exists only if
-                # its (static) strength > 0.
                 lit = (~shadowed[ki]) & (ls[ki] > 0.0)
                 diffuse = diffuse + jnp.where(lit, diff_k, 0.0)
                 spec = spec + jnp.where(lit, spec_k, 0.0)
@@ -374,12 +443,5 @@ def trace(
         scale = 1.0 if bounce == 0 else mat_albedo[:, 2][:, None]
         contrib = color_temp * scale
         color = color + jnp.where(active[:, None], contrib, 0.0)
-
-        if bounce + 1 < cfg.bounces:
-            refl_dir = _normalize(_reflect(ray_d, normal))
-            side = jnp.sum(refl_dir * normal, axis=-1)
-            offset = jnp.where(side[:, None] < 0.0, -0.001, 0.001) * normal
-            ray_o = at + offset
-            ray_d = refl_dir
 
     return color
