@@ -33,20 +33,25 @@ def _sync(x) -> None:
     np.asarray(jnp.sum(x))  # the axon tunnel's block_until_ready is async
 
 
-def bench_frames(width: int, height: int, frames: int, orbit: float = 1.0):
-    """Mean seconds/frame over `frames` orbit steps (single sync at the
-    end — per-frame host syncs would measure tunnel RTT, not compute)."""
+def bench_frames(width: int, height: int, frames: int, rotations=1.0):
+    """Mean seconds/frame over `frames` spread across `rotations` full
+    camera orbits (the study averages over whole rotations, pdf §4.2).
+    Single sync at the end — per-frame host syncs would measure the
+    tunnel RTT, not compute."""
+    import math
+
     r = Renderer(
         Scene.load(SCENE),
         config=Config(resolution=Resolution.sized(width, height)),
         handler="pbvh",
     )
     _sync(r.render_frame(block=False))  # compile + warm
+    mult = rotations * 2.0 * math.pi / frames / 0.0314
     t0 = time.perf_counter()
     out = None
     for _ in range(frames):
         out = r.render_frame(block=False)
-        r.orbit(1.0)  # study protocol: frames along a camera orbit
+        r.orbit(mult)
     _sync(out)
     return (time.perf_counter() - t0) / frames
 
@@ -76,8 +81,8 @@ def bench_lbvh_build() -> float:
 
 
 def main() -> None:
-    ms_384 = bench_frames(384, 288, frames=30) * 1e3
-    ms_1080 = bench_frames(1920, 1080, frames=10) * 1e3
+    ms_384 = bench_frames(384, 288, frames=60) * 1e3
+    ms_1080 = bench_frames(1920, 1080, frames=12) * 1e3
     lbvh_ms = bench_lbvh_build()
 
     result = {
