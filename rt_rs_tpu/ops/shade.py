@@ -109,37 +109,9 @@ def hit_surface(
 ) -> tuple[jax.Array, jax.Array]:
     """Reference ``hit()`` -> (at [N, 3], normal [N, 3]).
 
-    Keeps the corner rotation of compute.wgsl:122-126: barycentric
-    coordinates are computed with ``a = pc``, ``b = pa``, ``c = pb`` and
-    the normals weighted ``na * v + nb * w + nc * u``.
-    """
-    at = o + d * t[:, None]
-    b = scene.pa[prim_id]
-    c = scene.pb[prim_id]
-    a = scene.pc[prim_id]
-
-    v0 = b - a
-    v1 = c - a
-    v2 = at - a
-
-    d00 = jnp.sum(v0 * v0, axis=-1)
-    d01 = jnp.sum(v0 * v1, axis=-1)
-    d11 = jnp.sum(v1 * v1, axis=-1)
-    d20 = jnp.sum(v2 * v0, axis=-1)
-    d21 = jnp.sum(v2 * v1, axis=-1)
-
-    denom = d00 * d11 - d01 * d01
-    denom = jnp.where(denom == 0.0, 1.0, denom)
-    v = (d11 * d20 - d01 * d21) / denom
-    w = (d00 * d21 - d01 * d20) / denom
-    u = 1.0 - v - w
-
-    normal = (
-        scene.na[prim_id] * v[:, None]
-        + scene.nb[prim_id] * w[:, None]
-        + scene.nc[prim_id] * u[:, None]
-    )
-    return at, _normalize(normal)
+    Keeps the corner rotation of compute.wgsl:122-126; implemented on
+    the combined shade-table row (one gather)."""
+    return _hit_from_rows(scene.shade_table[prim_id], o, d, t)
 
 
 def _hit_from_rows(
