@@ -26,6 +26,7 @@ from typing import Any, Mapping
 import numpy as np
 
 from rt_rs_tpu.bvh.builder import Aabb, build_aabb_tree  # noqa: F401
+from rt_rs_tpu.geom import f32_json as _f32j
 
 
 @dataclasses.dataclass
@@ -138,8 +139,8 @@ class BvhData:
                     "item_idx": int(self.item_idx[i]),
                     "item_count": int(self.item_count[i]),
                     "bounds": {
-                        "min": [float(x) for x in self.bounds_min[i]],
-                        "max": [float(x) for x in self.bounds_max[i]],
+                        "min": [_f32j(x) for x in self.bounds_min[i]],
+                        "max": [_f32j(x) for x in self.bounds_max[i]],
                     },
                 }
                 for i in range(self.num_nodes)

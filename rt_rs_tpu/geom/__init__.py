@@ -24,6 +24,20 @@ class SceneFormatError(ValueError):
     """Raised when scene JSON violates the reference schema."""
 
 
+def f32_json(v) -> float:
+    """Shortest-roundtrip f32 value for JSON output.
+
+    The reference serializes f32 fields with serde_json's
+    shortest-roundtrip formatting ("0.1", not "0.10000000149011612");
+    emitting the f64 widening of the f32 would change the text (same
+    value).  Going through numpy's unique positional repr reproduces
+    the shortest form.
+    """
+    import numpy as np
+
+    return float(np.format_float_positional(np.float32(v), unique=True))
+
+
 def _vec3(values: Any, what: str) -> tuple[float, float, float]:
     if not isinstance(values, Sequence) or len(values) != 3:
         raise SceneFormatError(

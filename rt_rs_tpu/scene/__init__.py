@@ -36,6 +36,7 @@ from rt_rs_tpu.geom import (
     PrimMat,
     PrimVertex,
     SceneFormatError,
+    f32_json,
 )
 from rt_rs_tpu.scene.camera import CameraController, CameraUniform
 
@@ -130,7 +131,10 @@ class Scene:
 
     def to_json(self) -> dict[str, Any]:
         return {
-            "camera": self.camera.to_json(),
+            "camera": {
+                "pos": [f32_json(x) for x in self.camera.pos],
+                "at": [f32_json(x) for x in self.camera.at],
+            },
             "camera_controller": self.camera_controller.to_json(),
             "prims": [
                 {
@@ -141,23 +145,23 @@ class Scene:
             ],
             "vertices": [
                 {
-                    "pos": [float(x) for x in self.vert_pos[v]],
-                    "normal": [float(x) for x in self.vert_norm[v]],
+                    "pos": [f32_json(x) for x in self.vert_pos[v]],
+                    "normal": [f32_json(x) for x in self.vert_norm[v]],
                 }
                 for v in range(self.num_vertices)
             ],
             "lights": [
                 {
-                    "pos": [float(x) for x in self.light_pos[l]],
-                    "strength": float(self.light_strength[l]),
+                    "pos": [f32_json(x) for x in self.light_pos[l]],
+                    "strength": f32_json(self.light_strength[l]),
                 }
                 for l in range(self.light_pos.shape[0])
             ],
             "materials": [
                 {
-                    "color": [float(x) for x in self.mat_color[m]],
-                    "albedo": [float(x) for x in self.mat_albedo[m]],
-                    "spec": float(self.mat_spec[m]),
+                    "color": [f32_json(x) for x in self.mat_color[m]],
+                    "albedo": [f32_json(x) for x in self.mat_albedo[m]],
+                    "spec": f32_json(self.mat_spec[m]),
                 }
                 for m in range(self.mat_color.shape[0])
             ],
@@ -182,47 +186,83 @@ class Scene:
         face-normal sums, renormalized per position
         (``scene/mod.rs:288-338``); supplied OBJ normals are accumulated
         unscaled, exactly like the reference.
+
+        All arithmetic is float32 in the reference's operation order
+        (the wavefront crate yields f32 positions), so generated
+        vertices/normals are VALUE-exact vs reference-built scenes
+        (construct reproduces teatime.json including last-ULP floats).
         """
         from rt_rs_tpu.scene.obj import ObjMesh  # noqa: F401 (typing aid)
 
         base = self.num_vertices
-        positions = obj.positions  # [Vp, 3] float64
+        positions = obj.positions.astype(np.float32)  # [Vp, 3]
         npos = positions.shape[0]
-        normal_acc = np.zeros((npos, 3), dtype=np.float64)
+        acc: list[list[np.ndarray]] = [[] for _ in range(npos)]
+
+        f32 = np.float32
+
+        def dot(a, b):
+            # V3Ops::dot fold order (v3.rs:45-50): ((0+x)+y)+z in f32.
+            return f32(f32(f32(f32(0.0) + a[0] * b[0]) + a[1] * b[1]) + a[2] * b[2])
+
+        def mag(v):
+            return f32(np.sqrt(dot(v, v)))
+
+        def cross(a, b):
+            return np.array(
+                [
+                    a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0],
+                ],
+                dtype=np.float32,
+            )
+
+        def normalize(v):
+            m = mag(v)
+            return np.array([v[0] / m, v[1] / m, v[2] / m], dtype=np.float32)
+
+        def angle(at, fst, snd):
+            # V3Ops::angle (v3.rs:74-79), f32 ops, no clamping.
+            ab = fst - at
+            ac = snd - at
+            return f32(np.arccos(f32(dot(ab, ac) / f32(mag(ab) * mag(ac)))))
 
         new_prims: list[tuple[int, int, int]] = []
         for (ia, ib, ic), (na, nb, nc) in obj.triangles():
             pa, pb, pc = positions[ia], positions[ib], positions[ic]
             ab = pb - pa
             ac = pc - pa
-            fn = np.cross(ab, ac)
-            fmag = np.sqrt(np.dot(fn, fn))
-            fn = fn / fmag if fmag > 0 else fn
-
-            from rt_rs_tpu.geom import v3
+            fn = normalize(cross(ab, ac))
 
             for idx, given, corner_angle in (
-                (ia, na, lambda: v3.angle(pa, pb, pc)),
-                (ib, nb, lambda: v3.angle(pb, pc, pa)),
-                (ic, nc, lambda: v3.angle(pc, pa, pb)),
+                (ia, na, lambda: angle(pa, pb, pc)),
+                (ib, nb, lambda: angle(pb, pc, pa)),
+                (ic, nc, lambda: angle(pc, pa, pb)),
             ):
                 if given is not None:
-                    normal_acc[idx] += given
+                    acc[idx].append(np.asarray(given, dtype=np.float32))
                 else:
-                    normal_acc[idx] += fn * corner_angle()
+                    acc[idx].append(fn * corner_angle())
 
             new_prims.append((base + ia, base + ib, base + ic))
 
-        mags = np.sqrt(np.sum(normal_acc * normal_acc, axis=1, keepdims=True))
-        with np.errstate(invalid="ignore", divide="ignore"):
-            normals = np.where(mags > 0, normal_acc / mags, normal_acc)
+        normals = np.zeros((npos, 3), dtype=np.float32)
+        for i, parts in enumerate(acc):
+            # fold(add) then normalize (scene/mod.rs:330-332), f32.
+            n = np.zeros(3, dtype=np.float32)
+            for p in parts:
+                n = n + p
+            m = mag(n)
+            if m > 0:
+                normals[i] = np.array(
+                    [n[0] / m, n[1] / m, n[2] / m], dtype=np.float32
+                )
+            else:
+                normals[i] = n
 
-        self.vert_pos = np.concatenate(
-            [self.vert_pos, positions.astype(np.float32)], axis=0
-        )
-        self.vert_norm = np.concatenate(
-            [self.vert_norm, normals.astype(np.float32)], axis=0
-        )
+        self.vert_pos = np.concatenate([self.vert_pos, positions], axis=0)
+        self.vert_norm = np.concatenate([self.vert_norm, normals], axis=0)
         if new_prims:
             self.prim_indices = np.concatenate(
                 [self.prim_indices, np.array(new_prims, dtype=np.uint32)], axis=0
