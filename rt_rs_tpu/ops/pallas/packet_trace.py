@@ -190,11 +190,20 @@ def chunk_overlap_mask(
         near_lb = jnp.maximum(near_lb, jnp.minimum(p0_lo, p1_lo))
         far_ub = jnp.minimum(far_ub, jnp.maximum(p0_hi, p1_hi))
     any_ray = jnp.any(ray_valid, axis=1)[:, None]
+    if t_cap is None:
+        cap = jnp.float32(t_max)
+    else:
+        # A chunk entirely beyond every live ray's cap (its light, for
+        # shadow rays) cannot matter; conservative: max over live rays.
+        cap = jnp.minimum(
+            jnp.max(jnp.where(ray_valid, t_cap, -jnp.inf), axis=1),
+            t_max,
+        )[:, None]
     return (
         any_ray
         & (near_lb <= far_ub)
         & (far_ub >= t_min)
-        & (near_lb <= t_max)
+        & (near_lb <= cap)
     )
 
 

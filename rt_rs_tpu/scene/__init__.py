@@ -223,10 +223,13 @@ class Scene:
             return np.array([v[0] / m, v[1] / m, v[2] / m], dtype=np.float32)
 
         def angle(at, fst, snd):
-            # V3Ops::angle (v3.rs:74-79), f32 ops, no clamping.
+            # V3Ops::angle (v3.rs:74-79), f32 ops, no clamping: out-of-
+            # range inputs (degenerate corners) yield NaN exactly like
+            # Rust acos; suppress only the warning.
             ab = fst - at
             ac = snd - at
-            return f32(np.arccos(f32(dot(ab, ac) / f32(mag(ab) * mag(ac)))))
+            with np.errstate(invalid="ignore"):
+                return f32(np.arccos(f32(dot(ab, ac) / f32(mag(ab) * mag(ac)))))
 
         new_prims: list[tuple[int, int, int]] = []
         for (ia, ib, ic), (na, nb, nc) in obj.triangles():
