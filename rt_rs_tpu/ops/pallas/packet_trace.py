@@ -49,7 +49,7 @@ TRI_CHUNK = 8  # triangles per chunk (sublane dimension)
 # need the threaded `bvh` backend until chunk streaming (double-buffered
 # HBM->VMEM DMA) lands.
 MAX_VMEM_CHUNKS = 1536
-TILE_GROUP = 8  # ray tiles processed per grid step (amortizes the
+TILE_GROUP = 32  # ray tiles processed per grid step (amortizes the
 # per-step pipeline overhead, which otherwise dominates when most
 # tiles are empty: 1080p teatime went ~135 ms -> see bench history)
 
