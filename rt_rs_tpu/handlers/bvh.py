@@ -115,10 +115,18 @@ class BvhIntrs(IntrsHandler):
         target_item_count: int = 2,
         data: BvhData | None = None,
         path: str | None = None,
+        backend: str = "auto",
     ):
         """``BvhConfig`` parity: ``path``/``data`` = ``Bytes`` (a
         precomputed checkpoint, bvh.rs:54-64), ``eps`` = ``Runtime``,
-        neither = ``Default``."""
+        neither = ``Default``.
+
+        ``backend``: ``"threaded"`` (the stackless link walk — portable,
+        but XLA gathers make it slow on real TPUs), ``"packet"`` (route
+        intersection through the Pallas packet kernel over the SAME
+        leaf-ordered prims — the BVH/checkpoint still supplies the
+        ordering), or ``"auto"`` (packet on TPU when the scene fits in
+        VMEM, threaded otherwise)."""
         self.eps = eps
         self.target_item_count = target_item_count
         self._data = data
@@ -126,6 +134,21 @@ class BvhIntrs(IntrsHandler):
             with open(path, "r") as f:
                 self._data = BvhData.from_json(json.load(f))
         self.bvh_data: BvhData | None = self._data
+        self.backend = backend
+        self._chunks = None
+
+    def _use_packet(self, num_prims: int) -> bool:
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            MAX_VMEM_CHUNKS,
+            TRI_CHUNK,
+        )
+
+        fits = num_prims <= MAX_VMEM_CHUNKS * TRI_CHUNK
+        if self.backend == "packet":
+            return True
+        if self.backend == "threaded":
+            return False
+        return jax.default_backend() == "tpu" and fits
 
     def build(self, scene: Scene, arrays: SceneArrays):
         data = self._data
@@ -135,12 +158,28 @@ class BvhIntrs(IntrsHandler):
             )
         self.bvh_data = data
         accel = accel_from_bvh_data(data, scene)
-        return accel, reorder_scene_arrays(arrays, data.indices)
+        arrays = reorder_scene_arrays(arrays, data.indices)
+        if self._use_packet(scene.num_prims):
+            from rt_rs_tpu.ops.pallas.packet_trace import build_tri_chunks
+
+            self._chunks = build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
+        return accel, arrays
 
     def stats(self, accel: BvhArrays) -> IntrsStats:
         return IntrsStats(name="BVH", size=accel.footprint)
 
     def intersect_fn(self, accel: BvhArrays, arrays: SceneArrays, cfg: ComputeConfig):
+        if self._chunks is not None:
+            from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
+
+            return partial(
+                packet_closest_hit,
+                self._chunks,
+                t_min=cfg.t_min,
+                t_max=cfg.t_max,
+                eps=cfg.eps,
+                interpret=jax.default_backend() != "tpu",
+            )
         return partial(
             _bvh_intersect,
             accel,

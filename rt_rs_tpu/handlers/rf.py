@@ -55,14 +55,30 @@ class RfArrays:
 class RfBvhIntrs(IntrsHandler):
     name = "RF-BVH"
 
-    def __init__(self, eps: float = 0.02, target_item_count: int = 4):
+    def __init__(
+        self,
+        eps: float = 0.02,
+        target_item_count: int = 4,
+        backend: str = "auto",
+    ):
         """``RfBvhConfig`` parity: ``Eps(f32)`` or default eps = 0.02
         (rf.rs:16-19, 30-37); the item count is fixed at 4 in the
-        reference (rf.rs:64) but exposed here for experiments."""
+        reference (rf.rs:64) but exposed here for experiments.
+
+        ``backend``: ``"threaded"`` walks the packed records with the
+        f16 bounds (the format-faithful path; slow on real TPUs because
+        of XLA gathers), ``"packet"`` routes intersection through the
+        Pallas kernel over the RF leaf ordering and remaps hit ids back
+        to the unreordered prim space (identical images; the packed
+        records still define footprint + structure), ``"auto"`` picks
+        packet on TPU when the scene fits in VMEM."""
         self.eps = eps
         self.target_item_count = target_item_count
+        self.backend = backend
         self.bvh_data: BvhData | None = None
         self.rf_data: RfData | None = None
+        self._chunks = None
+        self._chunk_to_orig = None
 
     def build(self, scene: Scene, arrays: SceneArrays):
         data = build_bvh(
@@ -83,6 +99,29 @@ class RfBvhIntrs(IntrsHandler):
         bmax = un["bmax"][node_rows]
         payload = un["leaf_prims"][node_rows]  # [N, 8]
 
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            MAX_VMEM_CHUNKS,
+            TRI_CHUNK,
+            build_tri_chunks,
+        )
+
+        use_packet = self.backend == "packet" or (
+            self.backend == "auto"
+            and jax.default_backend() == "tpu"
+            and scene.num_prims <= MAX_VMEM_CHUNKS * TRI_CHUNK
+        )
+        if use_packet:
+            perm = np.concatenate(
+                [[0], data.indices.astype(np.int64) + 1]
+            )
+            self._chunks = build_tri_chunks(
+                np.asarray(arrays.pa)[perm],
+                np.asarray(arrays.pb)[perm],
+                np.asarray(arrays.pc)[perm],
+            )
+            # Map packet ids (leaf-ordered space) back to original ids.
+            self._chunk_to_orig = jnp.asarray(perm.astype(np.int32))
+
         hit_link, miss_link = data.escape_links()
         accel = RfArrays(
             node_min=jnp.asarray(bmin),
@@ -100,6 +139,28 @@ class RfBvhIntrs(IntrsHandler):
         return IntrsStats(name="RF-BVH", size=accel.footprint)
 
     def intersect_fn(self, accel: RfArrays, arrays: SceneArrays, cfg: ComputeConfig):
+        if self._chunks is not None:
+            from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
+
+            chunks = self._chunks
+            remap = self._chunk_to_orig
+            interpret = jax.default_backend() != "tpu"
+
+            def intersect(o, d, excl, valid, t_cap=None):
+                # excl is an ORIGINAL-space id; exclusion must happen in
+                # chunk space, so exclude after remapping instead: run
+                # without excl, then reject the excluded prim by
+                # re-running is wrong — instead translate excl ids into
+                # chunk space via the inverse permutation.
+                t, pid = packet_closest_hit(
+                    chunks, o, d, _to_chunk_space(remap, excl), valid,
+                    t_cap,
+                    t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
+                    interpret=interpret,
+                )
+                return t, remap[pid]
+
+            return intersect
         return partial(
             _rf_intersect,
             accel,
@@ -110,6 +171,17 @@ class RfBvhIntrs(IntrsHandler):
             t_max=cfg.t_max,
             eps=cfg.eps,
         )
+
+
+def _to_chunk_space(remap: jax.Array, excl: jax.Array) -> jax.Array:
+    """Translate original-space excl ids to the packet's chunk space.
+
+    ``remap`` is the chunk->original permutation; its inverse is built
+    once per trace (host-free, tiny [P] scatter)."""
+    inv = jnp.zeros_like(remap).at[remap].set(
+        jnp.arange(remap.shape[0], dtype=remap.dtype)
+    )
+    return inv[excl]
 
 
 def _rf_intersect(

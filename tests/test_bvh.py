@@ -178,6 +178,31 @@ def test_bvh_render_matches_naive(default_scene):
     np.testing.assert_allclose(f_bvh, f_naive, atol=1e-5)
 
 
+def test_bvh_packet_backend_matches_threaded(default_scene):
+    """backend='packet' (the TPU fast path for --handler-bvh) must give
+    the same closest hits as the threaded walk, ids included (same
+    leaf-ordered prim space)."""
+    cfg = ComputeConfig()
+    arrays = default_scene.pack()
+    ht = get_handler("bvh", backend="threaded")
+    at_, aa = ht.build(default_scene, arrays)
+    ft = ht.intersect_fn(at_, aa, cfg)
+    hp = get_handler("bvh", backend="packet")
+    ap_, ab = hp.build(default_scene, arrays)
+    fp = hp.intersect_fn(ap_, ab, cfg)
+
+    rng = np.random.default_rng(31)
+    o = rng.normal(size=(128, 3), scale=8.0).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = jnp.zeros((128,), dtype=jnp.int32)
+    ones = jnp.ones((128,), dtype=bool)
+    t0, i0 = ft(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    t1, i1 = fp(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+
 def test_bvh_stats(default_scene):
     h = get_handler("bvh")
     accel, _ = h.build(default_scene, default_scene.pack())

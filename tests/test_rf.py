@@ -140,6 +140,32 @@ def test_rf_render_matches_naive(default_scene):
     np.testing.assert_allclose(f_rf, f_naive, atol=1e-5)
 
 
+def test_rf_packet_backend_matches_threaded(teatime_scene):
+    cfg = ComputeConfig()
+    arrays = teatime_scene.pack()
+    ht = get_handler("rf_bvh", backend="threaded")
+    at_, aa = ht.build(teatime_scene, arrays)
+    ft = ht.intersect_fn(at_, aa, cfg)
+    hp = get_handler("rf_bvh", backend="packet")
+    ap_, ab = hp.build(teatime_scene, arrays)
+    fp = hp.intersect_fn(ap_, ab, cfg)
+
+    rng = np.random.default_rng(33)
+    o = rng.normal(size=(96, 3), scale=8.0).astype(np.float32)
+    d = rng.normal(size=(96, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = jnp.zeros((96,), dtype=jnp.int32)
+    ones = jnp.ones((96,), dtype=bool)
+    t0, i0 = ft(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    t1, i1 = fp(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    # Exclusion translates correctly across the id remap.
+    t2, i2 = fp(jnp.asarray(o), jnp.asarray(d), i1, ones)
+    hits = np.asarray(i1) != 0
+    assert (np.asarray(i2)[hits] != np.asarray(i1)[hits]).all()
+
+
 def test_rf_footprint_matches_published(teatime_scene):
     """The study's memory table (pdf p.19 §4.1 Fig. 8): teatime BVH
     +381,840 B, RF-BVH +110,528 B.  Our builds reproduce both exactly
