@@ -134,7 +134,11 @@ class Renderer:
             dt = time.perf_counter() - t0
             times.append(dt)
             if on_frame is not None:
-                on_frame(i, np.asarray(frame), dt)
+                # Device array on purpose: converting every frame to
+                # numpy would drag a full image through the host link
+                # inside the timed loop; callbacks that want pixels
+                # call np.asarray themselves.
+                on_frame(i, frame, dt)
             self.orbit(orbit_mult)
         return times
 

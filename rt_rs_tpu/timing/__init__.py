@@ -17,6 +17,7 @@ running average, the 10-frame chart cadence, and the footprint legend.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 
 from rt_rs_tpu.handlers.base import IntrsStats
@@ -63,6 +64,7 @@ class BenchScheduler:
         self.max_entries = max_entries
         self.times_ms: list[float] = []
         self.averages: list[float] = []
+        self._chart_thread: threading.Thread | None = None
 
     @property
     def running_average_ms(self) -> float:
@@ -72,7 +74,11 @@ class BenchScheduler:
 
     def record(self, dt: float) -> None:
         """Record one frame's seconds; refresh the chart every
-        ``interval`` frames (timing.rs:163-183)."""
+        ``interval`` frames (timing.rs:163-183).
+
+        Chart rendering happens on a background thread so it never
+        pollutes the frame timing — the reference does the same with an
+        mpsc channel + chart thread (timing.rs:145-192)."""
         self.times_ms.append(dt * 1e3)
         if len(self.times_ms) % self.interval == 0:
             self.averages.append(self.running_average_ms)
@@ -80,7 +86,11 @@ class BenchScheduler:
                 self.max_entries is None
                 or len(self.averages) <= self.max_entries
             ):
-                self.render_chart()
+                if self._chart_thread is None or not self._chart_thread.is_alive():
+                    self._chart_thread = threading.Thread(
+                        target=self.render_chart, daemon=True
+                    )
+                    self._chart_thread.start()
 
     def render_chart(self) -> None:
         """Write the running-average line chart (timing.rs:311-416);
@@ -105,6 +115,8 @@ class BenchScheduler:
         plt.close(fig)
 
     def finish(self) -> None:
+        if self._chart_thread is not None and self._chart_thread.is_alive():
+            self._chart_thread.join()
         if self.times_ms:
             self.averages.append(self.running_average_ms)
             self.render_chart()
