@@ -25,7 +25,7 @@ byte-compatible with the reference formats.
 from rt_rs_tpu.config import ComputeConfig, Config, Resolution
 from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.scene.camera import CameraUniform, CameraController
-from rt_rs_tpu.renderer import Renderer, run_headless
+from rt_rs_tpu.renderer import DynamicRenderer, Renderer, run_headless
 
 __version__ = "0.1.0"
 
@@ -37,5 +37,6 @@ __all__ = [
     "CameraUniform",
     "CameraController",
     "Renderer",
+    "DynamicRenderer",
     "run_headless",
 ]
