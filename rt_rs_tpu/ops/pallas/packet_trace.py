@@ -269,10 +269,19 @@ def _mt_kernel(
             u = tx * px + ty * py + tz * pz
             v = dx * qx + dy * qy + dz * qz
 
-            pos = det > eps
-            neg = det < -eps
-            ok = (pos & (u >= 0.0) & (u <= det) & (v >= 0.0) & (u + v <= det)) | (
-                neg & (u <= 0.0) & (u >= det) & (v <= 0.0) & (u + v >= det)
+            # Two-sided branch folded by sign flip: multiplying u/v by
+            # sign(det) is exact (x * +-1) and maps both determinant
+            # branches of basic.rs:56-70 onto one comparison set.
+            sgn = jnp.sign(det)
+            adet = jnp.abs(det)
+            su = u * sgn
+            sv = v * sgn
+            ok = (
+                (adet > eps)
+                & (su >= 0.0)
+                & (su <= adet)
+                & (sv >= 0.0)
+                & (su + sv <= adet)
             )
             w = (e2x * qx + e2y * qy + e2z * qz) / jnp.where(ok, det, 1.0)
             # Strict window (the naive replace semantics, basic.rs:95-101).
