@@ -67,7 +67,9 @@ class PacketBvhIntrs(IntrsHandler):
             )
         self.bvh_data = data
         arrays = reorder_scene_arrays(arrays, data.indices)
-        chunks = build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
+        chunks = build_tri_chunks(
+            arrays.pa, arrays.pb, arrays.pc, max_chunks=None
+        )
         return chunks, arrays
 
     def stats(self, accel: TriChunks) -> IntrsStats:
@@ -76,6 +78,20 @@ class PacketBvhIntrs(IntrsHandler):
         return IntrsStats(name="Packet-BVH", size=size)
 
     def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import MAX_VMEM_CHUNKS
+
+        if accel.num_chunks > MAX_VMEM_CHUNKS:
+            # HBM-resident table, DMA-streamed in 32-chunk blocks.
+            from rt_rs_tpu.ops.pallas.packet_stream import stream_closest_hit
+
+            return partial(
+                stream_closest_hit,
+                accel,
+                t_min=cfg.t_min,
+                t_max=cfg.t_max,
+                eps=cfg.eps,
+                interpret=self.interpret,
+            )
         return partial(
             packet_closest_hit,
             accel,

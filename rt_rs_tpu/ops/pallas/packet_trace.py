@@ -76,20 +76,29 @@ class TriChunks:
     num_chunks: int = dataclasses.field(metadata=dict(static=True))
 
 
-def build_tri_chunks(pa: np.ndarray, pb: np.ndarray, pc: np.ndarray) -> TriChunks:
+def build_tri_chunks(
+    pa: np.ndarray,
+    pb: np.ndarray,
+    pc: np.ndarray,
+    max_chunks: int | None = MAX_VMEM_CHUNKS,
+) -> TriChunks:
     """Pack reordered prim corners (rows 1.. of the scene arrays; row 0
-    is the null sentinel and is excluded) into chunks."""
+    is the null sentinel and is excluded) into chunks.
+
+    ``max_chunks`` guards the VMEM-resident kernel; pass ``None`` for
+    the streaming kernel (HBM-resident table, packet_stream.py)."""
     pa = np.asarray(pa, dtype=np.float32)[1:]
     pb = np.asarray(pb, dtype=np.float32)[1:]
     pc = np.asarray(pc, dtype=np.float32)[1:]
     p = pa.shape[0]
     nc = max(1, -(-p // TRI_CHUNK))
-    if nc > MAX_VMEM_CHUNKS:
+    if max_chunks is not None and nc > max_chunks:
         raise ValueError(
             f"scene has {p} triangles -> {nc} chunks, exceeding the "
-            f"packet kernel's VMEM-resident limit ({MAX_VMEM_CHUNKS} "
-            f"chunks / ~{MAX_VMEM_CHUNKS * TRI_CHUNK} tris). Use the "
-            "'bvh' handler for larger scenes."
+            f"packet kernel's VMEM-resident limit ({max_chunks} "
+            f"chunks / ~{max_chunks * TRI_CHUNK} tris). Use the "
+            "streaming path (automatic via the pbvh handler) or the "
+            "'bvh' handler."
         )
     pad = nc * TRI_CHUNK - p
 

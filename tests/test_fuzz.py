@@ -105,9 +105,16 @@ def test_degenerate_triangles():
 
 
 def test_vmem_guard():
-    """Oversized scenes get a clear error pointing at the bvh handler."""
+    """The VMEM-resident chunk builder still guards its cap; the pbvh
+    handler transparently streams instead (see test_stream.py)."""
+    from rt_rs_tpu.ops.pallas.packet_trace import build_tri_chunks
+
     rng = np.random.default_rng(7)
     scene = _random_scene(rng, 13000)
+    arrays = scene.pack()
+    with pytest.raises(ValueError, match="streaming"):
+        build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
+    # The handler itself succeeds (routes to the streaming kernel).
     h = get_handler("pbvh", interpret=True)
-    with pytest.raises(ValueError, match="bvh"):
-        h.build(scene, scene.pack())
+    accel, _ = h.build(scene, arrays)
+    assert accel.num_chunks > 1536
