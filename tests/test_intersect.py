@@ -111,7 +111,8 @@ def test_slab_test_basic():
     d = np.array(
         [[0, 0, 1.0], [0, 1.0, 0], [0, 0, -1.0]], dtype=np.float32
     )
-    inv = jnp.asarray(1.0 / d)
+    with np.errstate(divide="ignore"):  # axis-aligned dirs -> inf inv
+        inv = jnp.asarray(1.0 / d)
     bmin = jnp.asarray(np.array([-1.0, -1.0, -1.0], dtype=np.float32))
     bmax = jnp.asarray(np.array([1.0, 1.0, 1.0], dtype=np.float32))
     hit = np.asarray(slab_test(o, inv, bmin, bmax))
