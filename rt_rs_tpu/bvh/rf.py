@@ -161,13 +161,25 @@ def unpack_rf(rf: RfData) -> dict:
         bmin[:, ax] = lo
         bmax[:, ax] = hi
     tag = rec[:, 3]
-    is_leaf = (tag >> 31) & 1 == 1
     fst = ((tag >> 16) & 0x7FFF).astype(np.int32)
     snd = (tag & 0xFFFF).astype(np.int32)
 
-    # Identify payload records (the record after each leaf).
+    # Identify leaf/payload records STRUCTURALLY (a sequential walk:
+    # every leaf record is followed by exactly one payload record).
+    # Testing the raw MSB alone misclassifies payload words whose
+    # slot-7 prim id >= 2^15 (bit 31 set) as leaves.
+    msb = (tag >> 31) & 1 == 1
+    is_leaf = np.zeros(r, dtype=bool)
     is_payload = np.zeros(r, dtype=bool)
-    is_payload[1:] = is_leaf[:-1]
+    i = 0
+    while i < r:
+        if msb[i]:
+            is_leaf[i] = True
+            if i + 1 < r:
+                is_payload[i + 1] = True
+            i += 2
+        else:
+            i += 1
 
     leaf_prims = np.zeros((r, 8), dtype=np.int32)
     payload_rows = np.where(is_leaf)[0] + 1

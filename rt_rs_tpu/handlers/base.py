@@ -60,4 +60,6 @@ class IntrsHandler(abc.ABC):
     def intersect_fn(
         self, accel: Any, arrays: SceneArrays, cfg: ComputeConfig
     ) -> IntersectFn:
-        """Return the jittable closest-hit: ``(o, d, excl) -> (t, id)``."""
+        """Return the jittable closest-hit:
+        ``(o, d, excl, valid, *, t_cap=None) -> (t, id)`` (see
+        ``rt_rs_tpu.ops.shade.IntersectFn`` for the contract)."""

@@ -106,6 +106,17 @@ def accel_from_bvh_data(data: BvhData, scene: Scene) -> BvhArrays:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BvhAccel:
+    """Accel pytree for BvhIntrs: the node structure plus the optional
+    packet chunk table (kept here, NOT on the handler instance, so one
+    handler can serve multiple Renderers/scenes safely)."""
+
+    nodes: BvhArrays
+    chunks: object = None  # TriChunks | None
+
+
 class BvhIntrs(IntrsHandler):
     name = "BVH"
 
@@ -135,7 +146,6 @@ class BvhIntrs(IntrsHandler):
                 self._data = BvhData.from_json(json.load(f))
         self.bvh_data: BvhData | None = self._data
         self.backend = backend
-        self._chunks = None
 
     def _use_packet(self, num_prims: int) -> bool:
         from rt_rs_tpu.ops.pallas.packet_trace import (
@@ -157,24 +167,25 @@ class BvhIntrs(IntrsHandler):
                 scene, eps=self.eps, target_item_count=self.target_item_count
             )
         self.bvh_data = data
-        accel = accel_from_bvh_data(data, scene)
+        nodes = accel_from_bvh_data(data, scene)
         arrays = reorder_scene_arrays(arrays, data.indices)
+        chunks = None
         if self._use_packet(scene.num_prims):
             from rt_rs_tpu.ops.pallas.packet_trace import build_tri_chunks
 
-            self._chunks = build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
-        return accel, arrays
+            chunks = build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
+        return BvhAccel(nodes=nodes, chunks=chunks), arrays
 
-    def stats(self, accel: BvhArrays) -> IntrsStats:
-        return IntrsStats(name="BVH", size=accel.footprint)
+    def stats(self, accel: BvhAccel) -> IntrsStats:
+        return IntrsStats(name="BVH", size=accel.nodes.footprint)
 
-    def intersect_fn(self, accel: BvhArrays, arrays: SceneArrays, cfg: ComputeConfig):
-        if self._chunks is not None:
+    def intersect_fn(self, accel: BvhAccel, arrays: SceneArrays, cfg: ComputeConfig):
+        if accel.chunks is not None:
             from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
 
             return partial(
                 packet_closest_hit,
-                self._chunks,
+                accel.chunks,
                 t_min=cfg.t_min,
                 t_max=cfg.t_max,
                 eps=cfg.eps,
@@ -182,7 +193,7 @@ class BvhIntrs(IntrsHandler):
             )
         return partial(
             _bvh_intersect,
-            accel,
+            accel.nodes,
             arrays.pa,
             arrays.pb,
             arrays.pc,

@@ -119,7 +119,13 @@ class LbvhIntrs(IntrsHandler):
         return chunks, arrays
 
     def stats(self, accel: TriChunks) -> IntrsStats:
-        size = accel.num_chunks * (9 * 8 + 6) * 4
+        import numpy as _np
+
+        # Honest device footprint (lane-padded chunk table + bounds).
+        size = int(
+            _np.prod(accel.comp.shape) * 4
+            + _np.prod(accel.bmin.shape) * 4 * 2
+        )
         return IntrsStats(name="LBVH", size=size)
 
     def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):

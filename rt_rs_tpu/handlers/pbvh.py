@@ -19,6 +19,8 @@ from functools import partial
 
 import jax
 
+import numpy as np
+
 from rt_rs_tpu.bvh import BvhData, build_bvh
 from rt_rs_tpu.config import ComputeConfig
 from rt_rs_tpu.handlers.base import IntrsHandler, IntrsStats
@@ -73,8 +75,14 @@ class PacketBvhIntrs(IntrsHandler):
         return chunks, arrays
 
     def stats(self, accel: TriChunks) -> IntrsStats:
-        # Footprint: chunk SoA (9 comps) + chunk bounds (6 comps), f32.
-        size = accel.num_chunks * (9 * 8 + 6) * 4
+        # Honest device footprint: the lane-padded chunk table
+        # [Nc, 8, 128] f32 (4 KB/chunk) + bounds — what actually
+        # occupies VMEM/HBM, comparable with BVH's 48 B/node and RF's
+        # 16 B/record numbers.
+        size = int(
+            np.prod(accel.comp.shape) * 4
+            + np.prod(accel.bmin.shape) * 4 * 2
+        )
         return IntrsStats(name="Packet-BVH", size=size)
 
     def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):

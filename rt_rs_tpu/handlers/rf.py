@@ -41,6 +41,19 @@ from rt_rs_tpu.scene.arrays import SceneArrays
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class RfAccel:
+    """Accel pytree for RfBvhIntrs: packed-record traversal arrays plus
+    the optional packet chunk table + id remap (kept here, not on the
+    handler instance, so one handler instance can serve multiple
+    scenes)."""
+
+    records: "RfArrays"
+    chunks: object = None  # TriChunks | None
+    remap: object = None  # jax.Array | None (chunk-space -> original id)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class RfArrays:
     node_min: jax.Array  # [N, 3] float32 (f16-roundtripped, conservative)
     node_max: jax.Array  # [N, 3]
@@ -77,8 +90,6 @@ class RfBvhIntrs(IntrsHandler):
         self.backend = backend
         self.bvh_data: BvhData | None = None
         self.rf_data: RfData | None = None
-        self._chunks = None
-        self._chunk_to_orig = None
 
     def build(self, scene: Scene, arrays: SceneArrays):
         data = build_bvh(
@@ -110,20 +121,22 @@ class RfBvhIntrs(IntrsHandler):
             and jax.default_backend() == "tpu"
             and scene.num_prims <= MAX_VMEM_CHUNKS * TRI_CHUNK
         )
+        chunks = None
+        chunk_to_orig = None
         if use_packet:
             perm = np.concatenate(
                 [[0], data.indices.astype(np.int64) + 1]
             )
-            self._chunks = build_tri_chunks(
+            chunks = build_tri_chunks(
                 np.asarray(arrays.pa)[perm],
                 np.asarray(arrays.pb)[perm],
                 np.asarray(arrays.pc)[perm],
             )
             # Map packet ids (leaf-ordered space) back to original ids.
-            self._chunk_to_orig = jnp.asarray(perm.astype(np.int32))
+            chunk_to_orig = jnp.asarray(perm.astype(np.int32))
 
         hit_link, miss_link = data.escape_links()
-        accel = RfArrays(
+        records = RfArrays(
             node_min=jnp.asarray(bmin),
             node_max=jnp.asarray(bmax),
             hit_link=jnp.asarray(hit_link),
@@ -133,17 +146,20 @@ class RfBvhIntrs(IntrsHandler):
             num_nodes=data.num_nodes,
             footprint=rf.byte_size(),
         )
+        accel = RfAccel(
+            records=records, chunks=chunks, remap=chunk_to_orig
+        )
         return accel, arrays  # no prim reorder (rf.rs parity)
 
-    def stats(self, accel: RfArrays) -> IntrsStats:
-        return IntrsStats(name="RF-BVH", size=accel.footprint)
+    def stats(self, accel: RfAccel) -> IntrsStats:
+        return IntrsStats(name="RF-BVH", size=accel.records.footprint)
 
-    def intersect_fn(self, accel: RfArrays, arrays: SceneArrays, cfg: ComputeConfig):
-        if self._chunks is not None:
+    def intersect_fn(self, accel: RfAccel, arrays: SceneArrays, cfg: ComputeConfig):
+        if accel.chunks is not None:
             from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
 
-            chunks = self._chunks
-            remap = self._chunk_to_orig
+            chunks = accel.chunks
+            remap = accel.remap
             interpret = jax.default_backend() != "tpu"
 
             def intersect(o, d, excl, valid, t_cap=None):
@@ -163,7 +179,7 @@ class RfBvhIntrs(IntrsHandler):
             return intersect
         return partial(
             _rf_intersect,
-            accel,
+            accel.records,
             arrays.pa,
             arrays.pb,
             arrays.pc,

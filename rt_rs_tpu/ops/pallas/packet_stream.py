@@ -222,6 +222,12 @@ def stream_closest_hit(
     """Closest hit over an HBM-resident chunk table -> (t [N], pid [N])."""
     n = o.shape[0]
     nc = chunks.num_chunks
+    # Prim ids travel as f32 inside the kernel (exact below 2^24).
+    if nc * TRI_CHUNK + 1 >= (1 << 24):
+        raise ValueError(
+            f"{nc * TRI_CHUNK} triangles exceeds the kernel's exact-f32 "
+            "prim-id range (2^24); shard the scene or widen pid handling"
+        )
     nb = -(-nc // BLOCK_CHUNKS)
     t_tiles = max(1, -(-n // RAY_TILE))
     t_groups = -(-t_tiles // TILE_GROUP)

@@ -40,14 +40,15 @@ import jax.numpy as jnp
 from rt_rs_tpu.config import ComputeConfig
 from rt_rs_tpu.scene.arrays import SceneArrays
 
-# (origins [N,3], dirs [N,3], excl prim [N], valid [N]) -> (t [N], prim [N])
+# (origins [N,3], dirs [N,3], excl prim [N], valid [N], *, t_cap=None)
+#   -> (t [N], prim [N])
 # `valid` marks live rays: results for invalid rays are unspecified (the
 # caller masks them); backends use it to keep dead rays from polluting
-# packet coherence.
-IntersectFn = Callable[
-    [jax.Array, jax.Array, jax.Array, jax.Array],
-    tuple[jax.Array, jax.Array],
-]
+# packet coherence.  `t_cap` (optional [N] float32 keyword) is a per-ray
+# upper bound used only to tighten culling: hits beyond a ray's cap may
+# or may not be reported.  Every backend MUST accept the keyword (shadow
+# passes always pass it).
+IntersectFn = Callable[..., tuple[jax.Array, jax.Array]]
 
 
 def _normalize(v: jax.Array) -> jax.Array:
@@ -167,48 +168,6 @@ def _light_terms(
     spec = jnp.sum(-refl * ray_dir, axis=-1)
     spec = jnp.power(jnp.maximum(0.0, spec), spec_pow) * strength
     return diffuse, spec
-
-
-def _shadow_mask(
-    scene: SceneArrays,
-    intersect_fn: IntersectFn,
-    cfg: ComputeConfig,
-    light_pos: jax.Array,  # [K, N, 3]
-    at: jax.Array,  # [N, 3]
-    normal: jax.Array,  # [N, 3]
-    prim_id: jax.Array,  # [N] prim to exclude
-    ray_valid: jax.Array,  # [N] live-ray mask
-) -> jax.Array:
-    """``shadowed`` for K light sets at once -> bool [K, N].
-
-    One batched intersect over ``[K * N]`` rays (light-major layout).
-    """
-    k, n = light_pos.shape[0], light_pos.shape[1]
-    delta = light_pos - at[None, :, :]
-    light_dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))  # [K, N]
-    light_dir = _normalize(delta)
-
-    side = jnp.sum(light_dir * normal[None, :, :], axis=-1)  # [K, N]
-    offset = jnp.where(side[..., None] < 0.0, -0.001, 0.001) * normal[None, :, :]
-    origin = at[None, :, :] + offset
-
-    flat_o = origin.reshape(k * n, 3)
-    flat_d = light_dir.reshape(k * n, 3)
-    flat_excl = jnp.broadcast_to(prim_id[None, :], (k, n)).reshape(k * n)
-    flat_valid = jnp.broadcast_to(ray_valid[None, :], (k, n)).reshape(k * n)
-
-    flat_cap = light_dist.reshape(k * n)
-    t, hit_id = intersect_fn(
-        flat_o, flat_d, flat_excl, flat_valid, t_cap=flat_cap
-    )
-    if scene.no_negative_materials:
-        # prim 0 is the only material==-1 prim -> skip the gather.
-        real = hit_id != 0
-    else:
-        real = scene.prim_mat[hit_id] != -1
-    valid = real & (t < cfg.t_max) & (t > cfg.t_min)
-    # |shadow_hit.at - origin| == t for normalized dirs (compute.wgsl:206).
-    return valid.reshape(k, n) & (t.reshape(k, n) < light_dist)
 
 
 def compacting(intersect_fn: IntersectFn) -> IntersectFn:

@@ -118,7 +118,10 @@ class BenchScheduler:
         if self._chart_thread is not None and self._chart_thread.is_alive():
             self._chart_thread.join()
         if self.times_ms:
-            self.averages.append(self.running_average_ms)
+            # Only append a final point if record() didn't just do so
+            # (avoids a duplicate, mislabeled last chart entry).
+            if len(self.times_ms) % self.interval != 0:
+                self.averages.append(self.running_average_ms)
             self.render_chart()
 
 

@@ -81,7 +81,12 @@ def pick_handler(args) -> tuple[str, dict]:
     if args.handler_pbvh is not None:
         if len(args.handler_pbvh) == 0:
             return "pbvh", {}
-        return "pbvh", {"eps": float(args.handler_pbvh[0])}
+        try:
+            return "pbvh", {"eps": float(args.handler_pbvh[0])}
+        except ValueError:
+            raise SystemExit(
+                "--handler-pbvh takes an optional epsilon value (f32)"
+            )
     return "blank", {}  # reference default (load.rs:189-192)
 
 

@@ -122,6 +122,9 @@ class WebState:
     # -- mailbox appliers (web.rs:115-148) -----------------------------
 
     def _apply_updates(self) -> None:
+        # Renderer rebuilds must carry forward live config updates
+        # (update_config mutates renderer.config, not self.config).
+        self.config = self.renderer.config
         if self._pending_viewport is not None:
             w, h = self._pending_viewport
             self._pending_viewport = None
@@ -231,9 +234,14 @@ def make_server(state: WebState, host: str = "127.0.0.1", port: int = 0):
             path, _, query = self.path.partition("?")
             try:
                 if path == "/scene":
-                    name = dict(
-                        kv.split("=") for kv in query.split("&") if "=" in kv
-                    ).get("name", "")
+                    from urllib.parse import parse_qs
+
+                    name = parse_qs(query).get("name", [""])[0]
+                    # Scene names are bare file stems; reject anything
+                    # that could escape the scene directory.
+                    if not name.replace("-", "").replace("_", "").isalnum():
+                        self._send(400, b"invalid scene name", "text/plain")
+                        return
                     state._pending_scene = name
                 elif path == "/config":
                     state._pending_config = json.loads(body)

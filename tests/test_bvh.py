@@ -208,4 +208,28 @@ def test_bvh_stats(default_scene):
     accel, _ = h.build(default_scene, default_scene.pack())
     stats = h.stats(accel)
     assert stats.name == "BVH"
-    assert stats.size == 48 * accel.num_nodes  # 48 B/node (bvh/mod.rs:11-17)
+    assert stats.size == 48 * accel.nodes.num_nodes  # 48 B/node (bvh/mod.rs:11-17)
+
+
+def test_handler_instance_reuse_across_scenes(default_scene, teatime_scene):
+    """One handler instance serving two Renderers must not cross-wire
+    accel state (chunks live in the accel pytree, not on the handler)."""
+    h = get_handler("bvh", backend="packet")
+    a1, arr1 = h.build(default_scene, default_scene.pack())
+    a2, arr2 = h.build(teatime_scene, teatime_scene.pack())
+    cfg = ComputeConfig()
+    f1 = h.intersect_fn(a1, arr1, cfg)
+    rng = np.random.default_rng(41)
+    o = rng.normal(size=(64, 3), scale=8.0).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = jnp.zeros((64,), dtype=jnp.int32)
+    ones = jnp.ones((64,), dtype=bool)
+    t1, _ = f1(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    # Reference: a fresh handler on scene 1 only.
+    href = get_handler("bvh", backend="packet")
+    aref, arrref = href.build(default_scene, default_scene.pack())
+    tref, _ = href.intersect_fn(aref, arrref, cfg)(
+        jnp.asarray(o), jnp.asarray(d), excl, ones
+    )
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(tref), rtol=1e-6)

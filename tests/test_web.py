@@ -104,3 +104,32 @@ def test_orbit_keys(server):
     _post(base, "/key", json.dumps({"key": "left", "pressed": False}).encode())
     cam_after = state.renderer.camera.pos
     assert cam_before != cam_after
+
+
+def test_config_survives_viewport_and_scene_switch(server):
+    """Live config updates must persist across renderer rebuilds
+    (review finding: _apply_updates used a stale self.config)."""
+    base, state = server
+    _post(base, "/config", json.dumps({"bounces": 3}).encode())
+    _get(base, "/frame.png")
+    assert state.renderer.config.compute.bounces == 3
+    _post(base, "/viewport", json.dumps({"width": 20, "height": 16}).encode())
+    _get(base, "/frame.png")
+    assert state.renderer.config.compute.bounces == 3
+    _post(base, "/scene?name=default")
+    _get(base, "/frame.png")
+    assert state.renderer.config.compute.bounces == 3
+
+
+def test_scene_name_traversal_rejected(server):
+    base, state = server
+    import urllib.error
+    import urllib.parse
+
+    bad = urllib.parse.quote("../../etc/passwd")
+    req = urllib.request.Request(
+        base + f"/scene?name={bad}", data=b"", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
