@@ -29,8 +29,7 @@ SCENE = "/root/reference/scenes/teatime.json"
 REF_FRAME_MS = 214.569  # RF-BVH, 384x288, 4 bounces (pdf p.19 §4.2.2)
 
 
-def _sync(x) -> None:
-    np.asarray(jnp.sum(x))  # the axon tunnel's block_until_ready is async
+from rt_rs_tpu.utils.sync import device_sync as _sync  # noqa: E402
 
 
 def bench_frames(width: int, height: int, frames: int, rotations=1.0):

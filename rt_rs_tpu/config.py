@@ -11,7 +11,6 @@ the jitted render step so XLA specializes on ``bounces``.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Mapping
 
 
@@ -48,20 +47,17 @@ class ComputeConfig:
         )
 
 
-def _gcd_wg(width: int, height: int) -> int:
-    return math.gcd(int(width), int(height))
-
-
 @dataclasses.dataclass(frozen=True)
 class Resolution:
     """Render-target resolution.
 
     The reference's untagged enum ``Dynamic(wg) | Sized(w,h) |
     Fixed{size, wg}`` (``src/lib/mod.rs:56-77``) collapses here to an
-    optional size plus an optional tile hint.  ``wg()`` reproduces the
-    reference's workgroup-size selection — GCD of the dimensions,
-    clamped so ``wg*wg <= 256`` (``src/lib/mod.rs:79-105``) — which we
-    keep as the *tile* used when carving the image into ray packets.
+    optional size plus the parsed ``wg`` value.  ``wg_hint`` is kept
+    only so all three JSON forms round-trip; the reference's
+    workgroup-size *selection* (GCD clamp, ``src/lib/mod.rs:79-105``)
+    has no TPU analogue — ray packets are 128 lanes by hardware, not a
+    tunable (see PARITY.md "Architectural mappings").
     """
 
     width: int | None = None
@@ -99,16 +95,6 @@ class Resolution:
         if self.width is None or self.height is None:
             return fallback
         return (self.width, self.height)
-
-    def wg(self) -> int:
-        """Reference ``Resolution::wg`` (``src/lib/mod.rs:79-105``)."""
-        if self.wg_hint is not None:
-            dim = self.wg_hint
-        elif self.width is not None and self.height is not None:
-            dim = _gcd_wg(self.width, self.height)
-        else:
-            dim = 16
-        return 16 if dim * dim > 256 else dim
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,8 +29,9 @@ from rt_rs_tpu.config import ComputeConfig
 from rt_rs_tpu.handlers.base import IntrsHandler, IntrsStats
 from rt_rs_tpu.ops.lbvh import morton_codes, morton_order
 from rt_rs_tpu.ops.pallas.packet_trace import (
+    CHUNK_ALIGN,
+    LANES,
     MAX_VMEM_CHUNKS,
-    RAY_TILE,
     TRI_CHUNK,
     TriChunks,
     packet_closest_hit,
@@ -48,6 +49,7 @@ def device_chunks(pa: jax.Array, pb: jax.Array, pc: jax.Array) -> TriChunks:
     pa, pb, pc = pa[1:], pb[1:], pc[1:]
     p = pa.shape[0]
     nc = max(1, -(-p // TRI_CHUNK))
+    nc = -(-nc // CHUNK_ALIGN) * CHUNK_ALIGN
     if nc > MAX_VMEM_CHUNKS:
         raise ValueError(
             f"{p} triangles -> {nc} chunks exceeds the packet kernel's "
@@ -62,7 +64,7 @@ def device_chunks(pa: jax.Array, pb: jax.Array, pc: jax.Array) -> TriChunks:
     e1 = pb_ - pa_
     e2 = pc_ - pa_
     comp9 = jnp.concatenate([pa_, e1, e2], axis=1)  # [P_pad, 9]
-    comp = jnp.zeros((nc, TRI_CHUNK, RAY_TILE), dtype=jnp.float32)
+    comp = jnp.zeros((nc, TRI_CHUNK, LANES), dtype=jnp.float32)
     comp = comp.at[:, :, :9].set(comp9.reshape(nc, TRI_CHUNK, 9))
 
     big = jnp.float32(3.0e38)

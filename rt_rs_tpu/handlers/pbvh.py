@@ -34,6 +34,9 @@ from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.scene.arrays import SceneArrays
 
 
+DEFAULT_TRI_CHUNK = 64  # resident-kernel chunk height (PERF.md sweep)
+
+
 def _default_interpret() -> bool:
     # Pallas TPU kernels run compiled on TPU; everywhere else (CPU
     # tests, virtual device meshes) use the interpreter.
@@ -50,6 +53,9 @@ class PacketBvhIntrs(IntrsHandler):
         data: BvhData | None = None,
         path: str | None = None,
         interpret: bool | None = None,
+        cull_block: int | None = None,
+        ray_tile: int | None = None,
+        tri_chunk: int | None = None,
     ):
         self.eps = eps
         self.target_item_count = target_item_count
@@ -59,6 +65,9 @@ class PacketBvhIntrs(IntrsHandler):
         self.interpret = (
             _default_interpret() if interpret is None else interpret
         )
+        self.cull_block = cull_block
+        self.ray_tile = ray_tile
+        self.tri_chunk = tri_chunk
         self.bvh_data: BvhData | None = self._data
 
     def build(self, scene: Scene, arrays: SceneArrays):
@@ -69,8 +78,26 @@ class PacketBvhIntrs(IntrsHandler):
             )
         self.bvh_data = data
         arrays = reorder_scene_arrays(arrays, data.indices)
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            MAX_VMEM_CHUNKS,
+            TRI_CHUNK,
+        )
+
+        n_tris = arrays.pa.shape[0] - 1  # minus the null sentinel
+        self._streaming = n_tris > MAX_VMEM_CHUNKS * TRI_CHUNK
+        # The streaming kernel's DMA blocks are fixed at 32 chunks of 8
+        # triangles; the resident kernel defaults to 64-triangle chunks
+        # (measured optimum: amortizes the per-list-entry overhead that
+        # dominated the 8-tri layout -- see PERF.md).
+        if self._streaming:
+            tri_chunk = TRI_CHUNK
+        elif self.tri_chunk is None:
+            tri_chunk = DEFAULT_TRI_CHUNK
+        else:
+            tri_chunk = self.tri_chunk
         chunks = build_tri_chunks(
-            arrays.pa, arrays.pb, arrays.pc, max_chunks=None
+            arrays.pa, arrays.pb, arrays.pc,
+            max_chunks=None, tri_chunk=tri_chunk,
         )
         return chunks, arrays
 
@@ -86,9 +113,12 @@ class PacketBvhIntrs(IntrsHandler):
         return IntrsStats(name="Packet-BVH", size=size)
 
     def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):
-        from rt_rs_tpu.ops.pallas.packet_trace import MAX_VMEM_CHUNKS
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            MAX_VMEM_CHUNKS,
+            TRI_CHUNK,
+        )
 
-        if accel.num_chunks > MAX_VMEM_CHUNKS:
+        if accel.num_chunks * accel.comp.shape[1] > MAX_VMEM_CHUNKS * TRI_CHUNK:
             # HBM-resident table, DMA-streamed in 32-chunk blocks.
             from rt_rs_tpu.ops.pallas.packet_stream import stream_closest_hit
 
@@ -100,6 +130,11 @@ class PacketBvhIntrs(IntrsHandler):
                 eps=cfg.eps,
                 interpret=self.interpret,
             )
+        kwargs = {}
+        if self.cull_block is not None:
+            kwargs["cull_block"] = self.cull_block
+        if self.ray_tile is not None:
+            kwargs["ray_tile"] = self.ray_tile
         return partial(
             packet_closest_hit,
             accel,
@@ -107,4 +142,5 @@ class PacketBvhIntrs(IntrsHandler):
             t_max=cfg.t_max,
             eps=cfg.eps,
             interpret=self.interpret,
+            **kwargs,
         )

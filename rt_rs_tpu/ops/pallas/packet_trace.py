@@ -12,10 +12,14 @@ branching inside the tile):
   triangles*; consecutive leaves are spatially adjacent, so chunk AABBs
   stay tight.  Chunk data is SoA, transposed to ``[8, Nc]`` so a chunk
   loads as one (8, 1) sublane vector.
-* Rays are processed in *tiles of 128* (the lane dimension).  For every
-  surviving (tile, chunk) pair the kernel evaluates all 8x128 = 1024
-  ray-triangle Möller–Trumbore tests as ~40 VPU ops on (8, 128)
-  registers — full vector utilization, zero divergence.
+* Rays are processed in *tiles of ``ray_tile``* (lane dimension,
+  default 128).  For every surviving (tile, chunk) pair the kernel
+  evaluates all ``tri_chunk x ray_tile`` ray-triangle Möller–Trumbore
+  tests as ~40 VPU ops on (tri_chunk, ray_tile) registers — full
+  vector utilization, zero divergence.  Both sizes are tunable: the
+  kernel's cost is ~0.4 us fixed per tile + ~70 cycles fixed per list
+  entry + the math, so bigger chunks amortize overhead against looser
+  culling (measured optimum tri_chunk=64 at 128-ray tiles; PERF.md).
 * Which chunks a tile must test is decided *outside* the kernel by
   conservative interval arithmetic (per-tile ray origin/inv-dir bounds
   vs chunk AABBs — a dense ``[T, Nc]`` mask computed in a few hundred
@@ -28,7 +32,8 @@ every ray in the tile; a chunk's AABB covers its triangles), so the
 kernel sees a superset of the prims any ray could hit; the per-pair
 test is the exact Möller–Trumbore of ``rt_rs_tpu.ops.intersect``.
 Verified against the naive brute-force backend in
-``tests/test_chunk_bvh.py``.
+``tests/test_pbvh.py`` (and ``tests/test_stream.py``
+for the HBM-streaming variant).
 """
 
 from __future__ import annotations
@@ -42,8 +47,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 128  # rays per tile (lane dimension)
+LANES = 128  # VPU lane width; also the chunk table's component-lane dim
+RAY_TILE = 128  # default rays per tile (lane dimension; see ray_tile arg)
 TRI_CHUNK = 8  # triangles per chunk (sublane dimension)
+# Chunk counts are padded to a multiple of CHUNK_ALIGN so the cull can
+# run at any block granularity dividing it (and the streaming kernel's
+# 32-chunk DMA blocks need no extra padding).  Padded chunks have zero
+# components (det = 0 -> always miss) and inverted bounds (culled).
+CHUNK_ALIGN = 32
+# Chunks per cull block (>1 = interval culling and the compaction
+# argsort run at [T, Nc/CULL_BLOCK] granularity and the kernel sweeps
+# whole blocks).  MEASURED: every coarsening LOSES on real TPU — the
+# extra kernel work from looser block bounds dwarfs the argsort savings
+# (PERF.md) — so the default is exact per-chunk culling.
+CULL_BLOCK = 1
 # The chunk table lives wholly in VMEM ([Nc, 8, 128] f32 = 4 KB/chunk);
 # cap it well under the ~16 MB budget.  Scenes beyond ~12K triangles
 # need the threaded `bvh` backend until chunk streaming (double-buffered
@@ -70,7 +87,7 @@ class TriChunks:
     null-prefixed id space) of chunk 0 sublane 0, i.e. 1.
     """
 
-    comp: jax.Array  # [Nc, 8, 128] float32 (9 components in lanes 0..8)
+    comp: jax.Array  # [Nc, 8, LANES] float32 (9 components in lanes 0..8)
     bmin: jax.Array  # [Nc, 3] float32
     bmax: jax.Array  # [Nc, 3] float32
     num_chunks: int = dataclasses.field(metadata=dict(static=True))
@@ -81,26 +98,32 @@ def build_tri_chunks(
     pb: np.ndarray,
     pc: np.ndarray,
     max_chunks: int | None = MAX_VMEM_CHUNKS,
+    tri_chunk: int = TRI_CHUNK,
 ) -> TriChunks:
     """Pack reordered prim corners (rows 1.. of the scene arrays; row 0
     is the null sentinel and is excluded) into chunks.
 
-    ``max_chunks`` guards the VMEM-resident kernel; pass ``None`` for
-    the streaming kernel (HBM-resident table, packet_stream.py)."""
+    ``max_chunks`` guards the VMEM-resident kernel (in units of 8-tri
+    chunk equivalents); pass ``None`` for the streaming kernel
+    (HBM-resident table, packet_stream.py).  ``tri_chunk`` sets the
+    sublane height of a chunk (8/16/32): bigger chunks amortize the
+    kernel's fixed per-chunk-iteration cost over more triangles at the
+    price of looser chunk bounds."""
     pa = np.asarray(pa, dtype=np.float32)[1:]
     pb = np.asarray(pb, dtype=np.float32)[1:]
     pc = np.asarray(pc, dtype=np.float32)[1:]
     p = pa.shape[0]
-    nc = max(1, -(-p // TRI_CHUNK))
-    if max_chunks is not None and nc > max_chunks:
+    nc = max(1, -(-p // tri_chunk))
+    nc = -(-nc // CHUNK_ALIGN) * CHUNK_ALIGN
+    if max_chunks is not None and nc * tri_chunk > max_chunks * TRI_CHUNK:
         raise ValueError(
-            f"scene has {p} triangles -> {nc} chunks, exceeding the "
-            f"packet kernel's VMEM-resident limit ({max_chunks} "
-            f"chunks / ~{max_chunks * TRI_CHUNK} tris). Use the "
+            f"scene has {p} triangles -> {nc} chunks x {tri_chunk}, "
+            f"exceeding the packet kernel's VMEM-resident limit "
+            f"(~{max_chunks * TRI_CHUNK} tris). Use the "
             "streaming path (automatic via the pbvh handler) or the "
             "'bvh' handler."
         )
-    pad = nc * TRI_CHUNK - p
+    pad = nc * tri_chunk - p
 
     def padz(x):
         return np.pad(x, ((0, pad), (0, 0)))
@@ -117,11 +140,11 @@ def build_tri_chunks(
         ],
         axis=1,
     )  # [P_pad, 9]
-    # Chunk-major layout [Nc, 8, 128]: the leading dim is dynamically
-    # indexable in Mosaic (the (8, 128) tail is one native tile); the 9
-    # components sit in lanes 0..8, rest zero-padded.
-    comp = np.zeros((nc, TRI_CHUNK, RAY_TILE), dtype=np.float32)
-    comp[:, :, :9] = comp9.reshape(nc, TRI_CHUNK, 9)
+    # Chunk-major layout [Nc, tc, 128]: the leading dim is dynamically
+    # indexable in Mosaic (the (tc, 128) tail is whole native tiles);
+    # the 9 components sit in lanes 0..8, rest zero-padded.
+    comp = np.zeros((nc, tri_chunk, LANES), dtype=np.float32)
+    comp[:, :, :9] = comp9.reshape(nc, tri_chunk, 9)
 
     tri_min = np.minimum(np.minimum(pa_, pb_), pc_)
     tri_max = np.maximum(np.maximum(pa_, pb_), pc_)
@@ -129,8 +152,8 @@ def build_tri_chunks(
         # Padded triangles must never enlarge chunk bounds.
         tri_min[p:] = np.float32(np.finfo(np.float32).max)
         tri_max[p:] = np.float32(-np.finfo(np.float32).max)
-    bmin = tri_min.reshape(nc, TRI_CHUNK, 3).min(axis=1)
-    bmax = tri_max.reshape(nc, TRI_CHUNK, 3).max(axis=1)
+    bmin = tri_min.reshape(nc, tri_chunk, 3).min(axis=1)
+    bmax = tri_max.reshape(nc, tri_chunk, 3).max(axis=1)
 
     return TriChunks(
         comp=jnp.asarray(comp),
@@ -199,6 +222,10 @@ def chunk_overlap_mask(
         near_lb = jnp.maximum(near_lb, jnp.minimum(p0_lo, p1_lo))
         far_ub = jnp.minimum(far_ub, jnp.maximum(p0_hi, p1_hi))
     any_ray = jnp.any(ray_valid, axis=1)[:, None]
+    # Padded chunks/blocks carry inverted bounds (min > max); the slab
+    # interval test alone would NOT reject them (entry -inf / exit +inf),
+    # so cull them explicitly.
+    nonempty = jnp.all(bmin <= bmax, axis=-1)[None, :]  # [1, Nc]
     if t_cap is None:
         cap = jnp.float32(t_max)
     else:
@@ -210,6 +237,7 @@ def chunk_overlap_mask(
         )[:, None]
     return (
         any_ray
+        & nonempty
         & (near_lb <= far_ub)
         & (far_ub >= t_min)
         & (near_lb <= cap)
@@ -223,10 +251,10 @@ def chunk_overlap_mask(
 def _mt_kernel(
     counts_ref,  # SMEM [T] int32 (scalar prefetch): chunks per tile
     ids_ref,  # SMEM (G, 1, Nc) int32: compacted chunk ids
-    rays_ref,  # VMEM (G, 8, RAY_TILE) f32: ox,oy,oz,dx,dy,dz,excl,pad
-    tri_ref,  # VMEM (Nc, 8, 128) f32: full chunk table
-    out_t_ref,  # VMEM (G, 1, RAY_TILE) f32
-    out_id_ref,  # VMEM (G, 1, RAY_TILE) int32
+    rays_ref,  # VMEM (G, 8, R) f32: ox,oy,oz,dx,dy,dz,excl,pad
+    tri_ref,  # VMEM (Nc, 8, LANES) f32: full chunk table
+    out_t_ref,  # VMEM (G, 1, R) f32
+    out_id_ref,  # VMEM (G, 1, R) int32
     *,
     t_min: float,
     t_max: float,
@@ -234,8 +262,10 @@ def _mt_kernel(
 ):
     miss = jnp.float32(t_max + 1.0)
     tile0 = pl.program_id(0) * TILE_GROUP
+    r = rays_ref.shape[2]  # rays per tile (ray_tile)
+    tc = tri_ref.shape[1]  # triangles per chunk (tri_chunk)
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, RAY_TILE), 0).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (tc, r), 0).astype(jnp.float32)
 
     def subtile_body(g, _):
         ox = rays_ref[g, 0:1, :]  # (1, 128)
@@ -297,15 +327,15 @@ def _mt_kernel(
             ok = ok & (w > t_min) & (w < t_max)
 
             # prim ids: reordered space, +1 for the null sentinel.
-            pid = sub + jnp.float32(1.0) + (c.astype(jnp.float32) * TRI_CHUNK)
+            pid = sub + jnp.float32(1.0) + (c.astype(jnp.float32) * tc)
             ok = ok & (pid != excl)
 
             w = jnp.where(ok, w, miss)
             better = w < bt
             return jnp.where(better, w, bt), jnp.where(better, pid, bid)
 
-        bt0 = jnp.full((TRI_CHUNK, RAY_TILE), miss, dtype=jnp.float32)
-        bid0 = jnp.zeros((TRI_CHUNK, RAY_TILE), dtype=jnp.float32)
+        bt0 = jnp.full((tc, r), miss, dtype=jnp.float32)
+        bid0 = jnp.zeros((tc, r), dtype=jnp.float32)
         bt, bid = jax.lax.fori_loop(
             0, counts_ref[tile0 + g], chunk_body, (bt0, bid0)
         )
@@ -336,6 +366,8 @@ def packet_closest_hit(
     t_min: float,
     t_max: float,
     eps: float,
+    cull_block: int = CULL_BLOCK,
+    ray_tile: int = RAY_TILE,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Closest hit over the chunked triangle soup -> (t [N], pid [N]).
@@ -344,40 +376,68 @@ def packet_closest_hit(
     closest hits up to ``t_max``): callers that only consume hits below
     a per-ray bound — shadow rays vs their light distance — let whole
     chunks beyond the bound be skipped.  Hits beyond a ray's cap may or
-    may not be reported; callers must not rely on them."""
+    may not be reported; callers must not rely on them.
+
+    ``cull_block`` sets the culling granularity in chunks: interval
+    tests, the compaction argsort, and the per-tile lists all run at
+    ``Nc / cull_block`` width, and the kernel sweeps ``cull_block``
+    consecutive chunks per list entry.  1 recovers exact per-chunk
+    culling (MEASURED slower at every resolution — the [T, Nc] argsort
+    prelude dominates; see PERF.md)."""
     n = o.shape[0]
     nc = chunks.num_chunks
-    t_tiles = max(1, -(-n // RAY_TILE))
+    if nc % cull_block:
+        raise ValueError(
+            f"chunk count {nc} not divisible by cull_block {cull_block} "
+            f"(builders pad to CHUNK_ALIGN={CHUNK_ALIGN})"
+        )
+    nb = nc // cull_block
+    t_tiles = max(1, -(-n // ray_tile))
     t_groups = -(-t_tiles // TILE_GROUP)
     t_tiles = t_groups * TILE_GROUP
-    n_pad = t_tiles * RAY_TILE
+    n_pad = t_tiles * ray_tile
 
     def pad_rays(x, fill=0.0):
         return jnp.pad(x, ((0, n_pad - n), (0, 0)), constant_values=fill)
 
-    o_p = pad_rays(o).reshape(t_tiles, RAY_TILE, 3)
-    d_p = pad_rays(d).reshape(t_tiles, RAY_TILE, 3)
-    excl_p = jnp.pad(excl, (0, n_pad - n)).reshape(t_tiles, RAY_TILE)
+    o_p = pad_rays(o).reshape(t_tiles, ray_tile, 3)
+    d_p = pad_rays(d).reshape(t_tiles, ray_tile, 3)
+    excl_p = jnp.pad(excl, (0, n_pad - n)).reshape(t_tiles, ray_tile)
 
     inv_d = 1.0 / d_p
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    valid = jnp.pad(valid, (0, n_pad - n)).reshape(t_tiles, RAY_TILE)
+    valid = jnp.pad(valid, (0, n_pad - n)).reshape(t_tiles, ray_tile)
 
     cap_p = (
         None
         if t_cap is None
-        else jnp.pad(t_cap, (0, n_pad - n)).reshape(t_tiles, RAY_TILE)
+        else jnp.pad(t_cap, (0, n_pad - n)).reshape(t_tiles, ray_tile)
     )
+    if cull_block > 1:
+        blk_min = jnp.min(
+            chunks.bmin.reshape(nb, cull_block, 3), axis=1
+        )
+        blk_max = jnp.max(
+            chunks.bmax.reshape(nb, cull_block, 3), axis=1
+        )
+    else:
+        blk_min, blk_max = chunks.bmin, chunks.bmax
     overlap = chunk_overlap_mask(
-        o_p, inv_d, valid, chunks.bmin, chunks.bmax,
+        o_p, inv_d, valid, blk_min, blk_max,
         t_min=t_min, t_max=t_max, t_cap=cap_p,
-    )  # [T, Nc]
+    )  # [T, Nb]
 
-    # Compact chunk ids per tile: stable argsort puts overlapping
-    # chunks first, in ascending chunk order.
+    # Compact block ids per tile (stable argsort puts overlapping
+    # blocks first, ascending), then expand each block to its
+    # cull_block consecutive chunk ids.
     order = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
-    counts = jnp.sum(overlap, axis=1, dtype=jnp.int32)
+    counts = jnp.sum(overlap, axis=1, dtype=jnp.int32) * cull_block
+    if cull_block > 1:
+        order = (
+            order[:, :, None] * cull_block
+            + jnp.arange(cull_block, dtype=jnp.int32)[None, None, :]
+        ).reshape(t_tiles, nc)
 
     # Ray payload: 8 sublanes = ox,oy,oz,dx,dy,dz,excl,pad.
     rays = jnp.concatenate(
@@ -385,12 +445,12 @@ def packet_closest_hit(
             o_p.transpose(0, 2, 1),  # [T, 3, 128]
             d_p.transpose(0, 2, 1),
             excl_p[:, None, :].astype(jnp.float32),
-            jnp.zeros((t_tiles, 1, RAY_TILE), dtype=jnp.float32),
+            jnp.zeros((t_tiles, 1, ray_tile), dtype=jnp.float32),
         ],
         axis=1,
     )  # [T, 8, 128]
 
-    nc_pad = -(-nc // RAY_TILE) * RAY_TILE
+    nc_pad = -(-nc // 128) * 128  # SMEM row padding
     ids = jnp.pad(order, ((0, 0), (0, nc_pad - nc)))
     tri = chunks.comp
 
@@ -404,20 +464,22 @@ def packet_closest_hit(
                 lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((TILE_GROUP, 8, RAY_TILE), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((nc, 8, RAY_TILE), lambda t, *_: (0, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 8, ray_tile), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(
+                (nc, chunks.comp.shape[1], LANES), lambda t, *_: (0, 0, 0)
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_GROUP, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((TILE_GROUP, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
         ],
     )
     out_t, out_id = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t_tiles, 1, RAY_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, 1, RAY_TILE), jnp.int32),
+            jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
         ],
         interpret=interpret,
     )(counts, ids[:, None, :], rays, tri)

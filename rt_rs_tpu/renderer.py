@@ -31,6 +31,7 @@ from rt_rs_tpu.handlers.base import IntrsHandler, IntrsStats
 from rt_rs_tpu.ops import shade
 from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.scene.arrays import SceneArrays
+from rt_rs_tpu.utils.sync import device_sync
 
 
 @partial(jax.jit, static_argnames=("handler", "cfg", "width", "height"))
@@ -95,7 +96,7 @@ class Renderer:
             height=self.height,
         )
         if block:
-            out.block_until_ready()
+            device_sync(out)
         return out
 
     def render_image(self) -> np.ndarray:
@@ -222,7 +223,7 @@ class DynamicRenderer:
             jnp.asarray(self.camera.at, jnp.float32),
         )
         if block:
-            out.block_until_ready()
+            device_sync(out)
         return out
 
 

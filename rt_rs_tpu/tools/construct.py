@@ -62,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
 
     models = []
     for path, mat in args.model:
-        if "default" in mat:
+        if mat == "default":
             models.append((path, None))
         else:
             try:

@@ -47,14 +47,23 @@ button { margin-right:.5rem; }
 <script>
 const frame = document.getElementById('frame');
 const note = document.getElementById('note');
+// Fixed-timestep pacing (mod.rs:324-417 parity): target the server's
+// configured fps; a slow frame just starts the next one immediately
+// (the accumulator's death-spiral guard collapses to "never sleep
+// negative time" since we only ever render one frame per iteration).
 async function loop() {
+  let fps = 60;
   for (;;) {
+    const t0 = performance.now();
     const r = await fetch('/frame.png?t=' + Date.now());
     frame.src = URL.createObjectURL(await r.blob());
     const s = await (await fetch('/status')).json();
+    fps = s.fps || fps;
     document.getElementById('status').textContent =
       `${s.handler} (${s.size} B) ${s.frame_ms.toFixed(1)} ms`;
     note.textContent = s.note || '';
+    const wait = 1000 / fps - (performance.now() - t0);
+    if (wait > 0) await new Promise(res => setTimeout(res, wait));
   }
 }
 // scene buttons (js/index.js:32-58 parity)
@@ -128,13 +137,17 @@ class WebState:
         if self._pending_viewport is not None:
             w, h = self._pending_viewport
             self._pending_viewport = None
-            self.size = (w, h)
-            self.renderer = Renderer(
-                self.renderer.scene,
-                config=self.config,
-                handler=self.handler,
-                size=self.size,
-            )
+            try:
+                self.renderer = Renderer(
+                    self.renderer.scene,
+                    config=self.config,
+                    handler=self.handler,
+                    size=(w, h),
+                )
+                self.size = (w, h)
+                self.note = ""
+            except Exception as e:  # keep old viewport (web.rs:128-139)
+                self.note = f"viewport update failed: {e}"
         if self._pending_config is not None:
             data = self._pending_config
             self._pending_config = None
@@ -187,6 +200,7 @@ class WebState:
             "handler": self.renderer.stats.name,
             "size": self.renderer.stats.size,
             "frame_ms": self.frame_ms,
+            "fps": self.config.fps,
             "note": self.note,
         }
 
@@ -247,9 +261,16 @@ def make_server(state: WebState, host: str = "127.0.0.1", port: int = 0):
                     state._pending_config = json.loads(body)
                 elif path == "/viewport":
                     data = json.loads(body)
-                    state._pending_viewport = (
-                        int(data["width"]), int(data["height"])
-                    )
+                    w, h = int(data["width"]), int(data["height"])
+                    # Bound at ingest: huge frames would OOM the host,
+                    # zero/negative would fail the Renderer rebuild.
+                    if not (1 <= w <= 4096 and 1 <= h <= 4096):
+                        self._send(
+                            400, b"viewport out of range [1, 4096]",
+                            "text/plain",
+                        )
+                        return
+                    state._pending_viewport = (w, h)
                 elif path == "/key":
                     data = json.loads(body)
                     key = data.get("key")

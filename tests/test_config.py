@@ -21,20 +21,14 @@ def test_partial_json_uses_defaults():
     assert full.fps == 60
 
 
-def test_resolution_wg_gcd():
-    # Sized: GCD of dimensions, clamped to 16 when wg*wg > 256
-    # (mod.rs:79-105).
-    assert Resolution.sized(384, 288).wg() == 16  # gcd=96 -> clamp
-    assert Resolution.sized(30, 20).wg() == 10  # gcd=10, 100<=256
-    assert Resolution.dynamic(8).wg() == 8
-    assert Resolution.dynamic(64).wg() == 16  # clamp
-    assert Resolution.fixed(512, 512, 4).wg() == 4
-
-
 def test_resolution_json_forms():
+    # All three untagged forms parse; wg round-trips as data only (the
+    # reference's workgroup-size selection has no TPU analogue — see
+    # PARITY.md "Architectural mappings").
     assert Resolution.from_json(16).wg_hint == 16  # Dynamic
     r = Resolution.from_json({"width": 384, "height": 288})
     assert r.size() == (384, 288)
+    assert r.wg_hint is None
     r = Resolution.from_json({"size": {"width": 10, "height": 20}, "wg": 2})
     assert r.size() == (10, 20)
-    assert r.wg() == 2
+    assert r.wg_hint == 2

@@ -54,6 +54,37 @@ def test_sharded_render_matches_single(default_scene):
     assert float(lum) == pytest.approx(expect, rel=1e-4)
 
 
+def test_sharded_packet_kernel_matches_single(default_scene):
+    """The exact configuration the driver's multichip dryrun gates on:
+    the Pallas packet kernel (pbvh, interpret on CPU) under shard_map
+    over the full 8-device mesh."""
+    w, h = 64, 64  # h divides 8
+    cfg = ComputeConfig(bounces=2)
+    handler = get_handler("pbvh")
+    arrays = default_scene.pack()
+    accel, arrays = handler.build(default_scene, arrays)
+
+    mesh = image_mesh(8)
+    fn = make_sharded_render(handler, accel, arrays, cfg, w, h, mesh)
+    frame, _ = fn(
+        jnp.asarray(default_scene.camera.pos, jnp.float32),
+        jnp.asarray(default_scene.camera.at, jnp.float32),
+    )
+    frame = np.asarray(frame)
+    assert frame.shape == (h, w, 3)
+
+    single = np.asarray(
+        Renderer(
+            default_scene,
+            config=Config(
+                compute=cfg, resolution=Resolution.sized(w, h)
+            ),
+            handler="pbvh",
+        ).render_frame()
+    )
+    np.testing.assert_allclose(frame, single, atol=1e-5)
+
+
 def test_sharded_render_two_devices(default_scene):
     w, h = 16, 8
     cfg = ComputeConfig(bounces=2)

@@ -59,6 +59,30 @@ def test_pbvh_matches_naive_default(default_scene):
     _compare(default_scene)
 
 
+@pytest.mark.parametrize("cull_block", [1, 4, 32])
+def test_pbvh_cull_block_granularities(default_scene, cull_block):
+    """Culling granularity is a perf knob only — results are exact at
+    every block size (1 = per-chunk, 32 = CHUNK_ALIGN)."""
+    cfg = ComputeConfig()
+    arrays = default_scene.pack()
+    naive = get_handler("naive")
+    _, na = naive.build(default_scene, arrays)
+    naive_fn = naive.intersect_fn(None, na, cfg)
+
+    h = get_handler("pbvh", interpret=True, cull_block=cull_block)
+    accel, ha = h.build(default_scene, arrays)
+    h_fn = h.intersect_fn(accel, ha, cfg)
+
+    rng = np.random.default_rng(11)
+    o, d = _rand_rays(rng, 256)
+    excl = jnp.zeros((256,), dtype=jnp.int32)
+    ones = jnp.ones((256,), dtype=bool)
+    t0, id0 = naive_fn(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    t1, id1 = h_fn(jnp.asarray(o), jnp.asarray(d), excl, ones)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
+    assert ((np.asarray(id1) == 0) == (np.asarray(id0) == 0)).all()
+
+
 def test_pbvh_matches_naive_teatime(teatime_scene):
     _compare(teatime_scene, rays=128, seed=8)
 
@@ -117,7 +141,14 @@ def test_overlap_mask_conservative(default_scene):
         )
     )[0]
     for c in range(accel.num_chunks):
-        if not mask[c]:
+        empty = bool((np.asarray(accel.bmin[c]) > np.asarray(accel.bmax[c])).any())
+        if empty:
+            # Padded chunks (inverted bounds) must always be culled;
+            # the raw slab test passes them through (entry -inf/exit
+            # +inf), which is exactly why chunk_overlap_mask rejects
+            # min > max explicitly.
+            assert not mask[c], f"empty pad chunk {c} not culled"
+        elif not mask[c]:
             per_ray = np.asarray(
                 slab_test(
                     jnp.asarray(o), jnp.asarray(1.0 / d),

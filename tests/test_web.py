@@ -95,6 +95,31 @@ def test_viewport_update(server):
     assert state.renderer.width == 16 and state.renderer.height == 12
 
 
+def test_viewport_bounds_rejected(server):
+    """Out-of-range viewports are rejected at POST time (huge values
+    would OOM the host; zero/negative would fail the Renderer rebuild)
+    and the live renderer is untouched."""
+    import urllib.error
+
+    base, state = server
+    w0, h0 = state.renderer.width, state.renderer.height
+    for bad in (
+        {"width": 0, "height": 240},
+        {"width": 320, "height": -8},
+        {"width": 65536, "height": 240},
+    ):
+        req = urllib.request.Request(
+            base + "/viewport", data=json.dumps(bad).encode(), method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError(f"viewport {bad} was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    _get(base, "/frame.png")
+    assert (state.renderer.width, state.renderer.height) == (w0, h0)
+
+
 def test_orbit_keys(server):
     base, state = server
     cam_before = state.renderer.camera.pos
