@@ -122,24 +122,41 @@ class Renderer:
         frames: int,
         orbit_mult: float = 1.0,
         on_frame: Callable[[int, np.ndarray, float], None] | None = None,
+        sync_every: int = 20,
     ) -> list[float]:
         """Render ``frames`` orbit steps; returns per-frame seconds.
 
         This is the study's benchmark protocol driver: N frames averaged
         over camera orbit rotations (pdf p.19 §4.2).
-        """
+
+        Timing syncs the device every ``sync_every`` frames and
+        amortizes the elapsed time over the chained frames — a per-frame
+        host sync would add one tunnel round-trip (~25 ms under axon,
+        measured ~30 ms with the pipeline drain) to every sample and
+        swamp the compute time the reference's timestamp queries measure
+        (timing.rs:221-300).  ``sync_every=1`` recovers strict per-frame
+        latency measurement.  Unsynced frames stay live on the device,
+        so memory holds ``sync_every`` frames (~24 MB each at 1080p)."""
         times: list[float] = []
+        pending: list[jax.Array] = []
+        t0 = time.perf_counter()
         for i in range(frames):
-            t0 = time.perf_counter()
-            frame = self.render_frame(block=True)
-            dt = time.perf_counter() - t0
-            times.append(dt)
-            if on_frame is not None:
-                # Device array on purpose: converting every frame to
-                # numpy would drag a full image through the host link
-                # inside the timed loop; callbacks that want pixels
-                # call np.asarray themselves.
-                on_frame(i, frame, dt)
+            frame = self.render_frame(block=False)
+            pending.append(frame)
+            if len(pending) >= sync_every or i == frames - 1:
+                device_sync(frame)
+                dt = (time.perf_counter() - t0) / len(pending)
+                times.extend([dt] * len(pending))
+                if on_frame is not None:
+                    # Device arrays on purpose: converting every frame
+                    # to numpy would drag full images through the host
+                    # link inside the timed loop; callbacks that want
+                    # pixels call np.asarray themselves.
+                    base = i + 1 - len(pending)
+                    for j, f in enumerate(pending):
+                        on_frame(base + j, f, dt)
+                pending = []
+                t0 = time.perf_counter()
             self.orbit(orbit_mult)
         return times
 

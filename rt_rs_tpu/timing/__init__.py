@@ -132,12 +132,24 @@ def run_benchmark_protocol(renderer, frames: int = 200, rotations: float = 5.0):
     import math
 
     sched = BenchScheduler(renderer.stats)
+    # Warm-up: XLA compilation happens on the first call; the reference
+    # pays its (trivial) pipeline build before the event loop, so a
+    # 20-40 s jit compile inside the timed window would be dishonest in
+    # the other direction.
+    renderer.render_frame(block=True)
     # orbit() advances 0.0314 * mult radians (camera.rs:181).
     mult = (rotations * 2.0 * math.pi) / frames / 0.0314
 
     def on_frame(i, frame, dt):
         sched.record(dt)
 
-    renderer.animate(frames, orbit_mult=mult, on_frame=on_frame)
+    # Coarse sync cadence: each device sync costs ~30 ms wall under the
+    # axon tunnel; at 50-frame chunks that residue is <3% of a teatime
+    # frame, keeping this protocol within a few % of bench.py's
+    # chained-frame measurement (validated on TPU; see PERF.md).
+    renderer.animate(
+        frames, orbit_mult=mult, on_frame=on_frame,
+        sync_every=min(50, frames),
+    )
     sched.finish()
     return sched, sched.running_average_ms
