@@ -177,10 +177,17 @@ class DynamicRenderer:
         config: Config | None = None,
         size: tuple[int, int] | None = None,
         interpret: bool | None = None,
+        refit: bool = False,
     ):
+        """``refit=True`` freezes the Morton order at the rest pose and
+        per-frame steps only recompute chunk bounds — a true
+        refit-without-resort (the BASELINE "per-frame refit" config).
+        A stale order only loosens culling (bounds are recomputed from
+        the CURRENT vertices, so results stay exact); re-create the
+        renderer if the geometry drifts far from the rest pose."""
         import dataclasses as _dc
 
-        from rt_rs_tpu.handlers.lbvh import build_accel_device
+        from rt_rs_tpu.handlers.lbvh import build_accel_device, device_chunks
         from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
 
         self.scene = scene
@@ -194,6 +201,22 @@ class DynamicRenderer:
 
         base = scene.pack()
         prim_idx = jnp.asarray(scene.prim_indices.astype(np.int32))
+        if refit:
+            # One-time sort at the rest pose; bake the permutation into
+            # prim_idx/prim_mat so frame steps skip sort + 8-array
+            # permute entirely.
+            from rt_rs_tpu.ops.lbvh import morton_codes, morton_order
+
+            a, b, c = base.pa[1:], base.pb[1:], base.pc[1:]
+            cent = (a + b + c) * jnp.float32(1.0 / 3.0)
+            lo = jnp.min(jnp.minimum(jnp.minimum(a, b), c), axis=0)
+            hi = jnp.max(jnp.maximum(jnp.maximum(a, b), c), axis=0)
+            order = morton_order(morton_codes(cent, lo, hi))
+            prim_idx = prim_idx[order]
+            perm = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), order.astype(jnp.int32) + 1]
+            )
+            base = _dc.replace(base, prim_mat=base.prim_mat[perm])
         cfg = self.config.compute
         width, height = self.width, self.height
 
@@ -213,7 +236,10 @@ class DynamicRenderer:
                 nb=corner(vert_norm, 1),
                 nc=corner(vert_norm, 2),
             ).rebuild_shade_table()
-            accel, arrays = build_accel_device(arrays)
+            if refit:
+                accel = device_chunks(arrays.pa, arrays.pb, arrays.pc)
+            else:
+                accel, arrays = build_accel_device(arrays)
             intersect = partial(
                 packet_closest_hit,
                 accel,

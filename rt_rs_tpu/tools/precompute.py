@@ -20,11 +20,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--scene", required=True)
     p.add_argument("--eps", type=float, default=0.02)  # BvhIntrs default
-    p.add_argument("--item-count", type=int, required=True)
+    p.add_argument("--item-count", type=int, default=None)
+    p.add_argument(
+        "--device",
+        action="store_true",
+        help="build on the accelerator (Morton sort + Karras hierarchy "
+        "emit + parallel refit; one prim per leaf — --eps/--item-count "
+        "do not apply). TPU-native addition; the checkpoint format is "
+        "identical.",
+    )
     args = p.parse_args(argv)
 
     scene = Scene.load(args.scene)
-    data = build_bvh(scene, eps=args.eps, target_item_count=args.item_count)
+    if args.device:
+        from rt_rs_tpu.bvh.device import build_bvh_device
+
+        data = build_bvh_device(scene)
+    else:
+        if args.item_count is None:
+            p.error("--item-count is required (unless --device)")
+        data = build_bvh(
+            scene, eps=args.eps, target_item_count=args.item_count
+        )
     data.save(args.out)  # compact JSON, like serde_json::to_string
     print(
         f"{args.out}: {data.num_nodes} nodes, {data.indices.size} indices, "

@@ -133,6 +133,89 @@ def test_lbvh_matches_naive_teatime(teatime_scene):
     _compare(teatime_scene, rays=96, seed=22)
 
 
+def test_device_built_bvh_data(teatime_scene):
+    """build_bvh_device (Morton + Karras emit + refit on device, host
+    preorder flatten) yields a structurally valid, checkpoint-
+    serializable BvhData the handlers can consume."""
+    import json
+    import tempfile
+
+    from rt_rs_tpu.bvh.device import build_bvh_device
+
+    data = build_bvh_device(teatime_scene)
+    p = teatime_scene.num_prims
+    assert data.num_nodes == 2 * p - 1
+    # Every prim in exactly one leaf.
+    assert sorted(data.indices.tolist()) == list(range(p))
+    leaf = data.is_leaf()
+    assert int(leaf.sum()) == p
+    assert (data.item_count[leaf] == 1).all()
+    # Preorder invariant: children at strictly larger indices.
+    interior = ~leaf
+    assert (data.fst[interior] > np.arange(data.num_nodes)[interior]).all()
+    assert (data.snd[interior] > np.arange(data.num_nodes)[interior]).all()
+    # Refit bounds cover children.
+    for name in ("fst", "snd"):
+        ch = getattr(data, name)[interior]
+        assert (
+            data.bounds_min[interior] <= data.bounds_min[ch] + 1e-6
+        ).all()
+        assert (
+            data.bounds_max[interior] >= data.bounds_max[ch] - 1e-6
+        ).all()
+    # Checkpoint round-trip.
+    with tempfile.NamedTemporaryFile("w+", suffix=".bvh.json") as f:
+        data.save(f.name)
+        loaded = type(data).load(f.name)
+        json.load(open(f.name))  # valid JSON
+    np.testing.assert_array_equal(loaded.indices, data.indices)
+    np.testing.assert_array_equal(loaded.fst, data.fst)
+
+
+def test_device_built_bvh_renders(default_scene):
+    """The device-built tree drives both the threaded and packet
+    handlers to naive-equal images."""
+    from rt_rs_tpu.bvh.device import build_bvh_device
+
+    data = build_bvh_device(default_scene)
+    w, h = 32, 24
+    cfg = Config(resolution=Resolution.sized(w, h))
+    ref = np.asarray(
+        Renderer(default_scene, config=cfg, handler="naive").render_frame()
+    )
+    for handler, kwargs in (
+        ("bvh", dict(data=data)),
+        ("pbvh", dict(data=data, interpret=True)),
+    ):
+        img = np.asarray(
+            Renderer(
+                default_scene, config=cfg, handler=handler,
+                handler_kwargs=kwargs,
+            ).render_frame()
+        )
+        np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_dynamic_refit_matches_rebuild(default_scene):
+    """refit=True (frozen rest-pose order, per-frame bounds only) must
+    render identically to the full per-frame rebuild."""
+    w, h = 32, 24
+    cfg = Config(resolution=Resolution.sized(w, h))
+    dyn_refit = DynamicRenderer(
+        default_scene, config=cfg, interpret=True, refit=True
+    )
+    dyn_full = DynamicRenderer(
+        default_scene, config=cfg, interpret=True
+    )
+    shift = np.array([0.4, 0.2, -0.3], dtype=np.float32)
+    moved = default_scene.vert_pos + shift
+    np.testing.assert_allclose(
+        np.asarray(dyn_refit.render_frame(moved)),
+        np.asarray(dyn_full.render_frame(moved)),
+        atol=1e-5,
+    )
+
+
 def test_dynamic_rebuild(default_scene):
     """Moving the geometry and rebuilding on-device must equal a
     from-scratch render of the moved scene."""
