@@ -56,6 +56,7 @@ class PacketBvhIntrs(IntrsHandler):
         cull_block: int | None = None,
         ray_tile: int | None = None,
         tri_chunk: int | None = None,
+        streaming_mode: str = "segmented",
     ):
         self.eps = eps
         self.target_item_count = target_item_count
@@ -68,6 +69,9 @@ class PacketBvhIntrs(IntrsHandler):
         self.cull_block = cull_block
         self.ray_tile = ray_tile
         self.tri_chunk = tri_chunk
+        if streaming_mode not in ("segmented", "dma"):
+            raise ValueError(f"unknown streaming_mode {streaming_mode!r}")
+        self.streaming_mode = streaming_mode
         self.bvh_data: BvhData | None = self._data
 
     def build(self, scene: Scene, arrays: SceneArrays):
@@ -85,42 +89,81 @@ class PacketBvhIntrs(IntrsHandler):
 
         n_tris = arrays.pa.shape[0] - 1  # minus the null sentinel
         self._streaming = n_tris > MAX_VMEM_CHUNKS * TRI_CHUNK
-        # The streaming kernel's DMA blocks are fixed at 32 chunks of 8
-        # triangles; the resident kernel defaults to 64-triangle chunks
-        # (measured optimum: amortizes the per-list-entry overhead that
-        # dominated the 8-tri layout -- see PERF.md).
-        if self._streaming:
-            tri_chunk = TRI_CHUNK
-        elif self.tri_chunk is None:
-            tri_chunk = DEFAULT_TRI_CHUNK
-        else:
-            tri_chunk = self.tri_chunk
+        # 64-triangle chunks are the measured optimum for both kernels:
+        # they amortize the per-list-entry fixed cost that dominated the
+        # 8-tri layout (see PERF.md).  The streaming kernel's 256-tri
+        # DMA blocks hold 4 of them.
+        tri_chunk = (
+            DEFAULT_TRI_CHUNK if self.tri_chunk is None else self.tri_chunk
+        )
         chunks = build_tri_chunks(
             arrays.pa, arrays.pb, arrays.pc,
             max_chunks=None, tri_chunk=tri_chunk,
         )
+        if self._streaming and self.streaming_mode == "segmented":
+            # Pre-slice on concrete arrays so the per-frame graph
+            # carries no table-slice copies.
+            from rt_rs_tpu.ops.pallas.packet_trace import split_chunks
+
+            return split_chunks(chunks), arrays
         return chunks, arrays
 
-    def stats(self, accel: TriChunks) -> IntrsStats:
+    def stats(self, accel) -> IntrsStats:
+        from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+
         # Honest device footprint: the lane-padded chunk table
-        # [Nc, 8, 128] f32 (4 KB/chunk) + bounds — what actually
+        # [Nc, tc, 128] f32 (512 B/tri) + bounds — what actually
         # occupies VMEM/HBM, comparable with BVH's 48 B/node and RF's
         # 16 B/record numbers.
+        parts = (
+            accel.segments
+            if isinstance(accel, SegmentedTriChunks)
+            else (accel,)
+        )
         size = int(
-            np.prod(accel.comp.shape) * 4
-            + np.prod(accel.bmin.shape) * 4 * 2
+            sum(
+                np.prod(p.comp.shape) * 4 + np.prod(p.bmin.shape) * 4 * 2
+                for p in parts
+            )
         )
         return IntrsStats(name="Packet-BVH", size=size)
 
-    def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):
+    def intersect_fn(self, accel, arrays: SceneArrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+
+        if isinstance(accel, SegmentedTriChunks):
+            # The resident kernel per VMEM-sized pre-sliced segment,
+            # with per-tile exact culling.
+            from rt_rs_tpu.ops.pallas.packet_trace import (
+                packet_closest_hit_segmented,
+            )
+
+            kwargs = {}
+            if self.cull_block is not None:
+                kwargs["cull_block"] = self.cull_block
+            if self.ray_tile is not None:
+                kwargs["ray_tile"] = self.ray_tile
+            return partial(
+                packet_closest_hit_segmented,
+                accel,
+                t_min=cfg.t_min,
+                t_max=cfg.t_max,
+                eps=cfg.eps,
+                interpret=self.interpret,
+                **kwargs,
+            )
         from rt_rs_tpu.ops.pallas.packet_trace import (
             MAX_VMEM_CHUNKS,
             TRI_CHUNK,
         )
 
         if accel.num_chunks * accel.comp.shape[1] > MAX_VMEM_CHUNKS * TRI_CHUNK:
-            # HBM-resident table, DMA-streamed in 32-chunk blocks.
-            from rt_rs_tpu.ops.pallas.packet_stream import stream_closest_hit
+            # Hand-rolled double-buffered DMA walk of per-group block
+            # lists (streaming_mode="dma"; kept for comparison —
+            # MEASURED slower than the segmented path, see PERF.md).
+            from rt_rs_tpu.ops.pallas.packet_stream import (
+                stream_closest_hit,
+            )
 
             return partial(
                 stream_closest_hit,

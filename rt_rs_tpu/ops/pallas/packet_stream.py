@@ -2,22 +2,28 @@
 
 The resident kernel (``packet_trace.py``) keeps the whole chunk table
 in VMEM — ideal up to ~12K triangles (every bundled scene), impossible
-beyond.  This variant keeps the table in HBM and DMAs 32-chunk *blocks*
-(256 triangles, 128 KB) through a double-buffered VMEM scratch, so
-scene size is bounded by HBM, not VMEM.
+beyond.  This variant keeps the table in HBM and DMAs 256-triangle
+*blocks* (128 KB) through a double-buffered VMEM scratch, so scene
+size is bounded by HBM, not VMEM.
 
 Structure per grid step (one group of ``TILE_GROUP`` ray tiles):
 
-1. the host computed, per group, the compacted list of 32-chunk blocks
-   any of its rays might hit (the same interval culling, reduced at
-   block granularity — conveniently one u32 bitfield word per block);
+1. the host computed, per group, the compacted list of blocks any of
+   its rays might hit (the same interval culling, reduced at chunk
+   granularity and packed into one bitfield word per block: bit j =
+   "this subtile overlaps chunk j of the block");
 2. the kernel walks that list with ``make_async_copy`` double
    buffering: while block ``b`` is being tested, ``b+1`` is in flight;
 3. for each fetched block, subtiles whose bitfield word is zero skip it
    entirely (``pl.when`` around scratch-ref updates — legal because
    accumulators live in VMEM scratch, not loop carries); surviving
-   subtiles run the usual 8x128 Möller–Trumbore lattices, with each
+   subtiles run ``tri_chunk x 128`` Möller–Trumbore lattices, with each
    chunk's per-subtile bit folded into the hit mask.
+
+The chunk height is taken from the table (``chunks.comp.shape[1]``):
+with the 64-triangle chunks the handlers build (PERF.md), a block is 4
+iterations of (64, 128) math instead of 32 of (8, 128) — the same
+fixed-cost amortization that doubled the resident kernel.
 
 Accumulators (best-t / best-id per subtile) persist in VMEM scratch
 across the block loop and are reduced to the outputs at the end.
@@ -37,15 +43,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rt_rs_tpu.ops.pallas.packet_trace import (
+    LANES,
     RAY_TILE,
     TILE_GROUP,
-    TRI_CHUNK,
     TriChunks,
     chunk_overlap_mask,
 )
 
-BLOCK_CHUNKS = 32  # chunks per streamed block (= bits per mask word)
-BLOCK_SUBLANES = BLOCK_CHUNKS * TRI_CHUNK  # 256
+BLOCK_SUBLANES = 512  # triangles per streamed DMA block (256 KB)
 
 
 def _mt_stream_kernel(
@@ -56,27 +61,30 @@ def _mt_stream_kernel(
     tri_hbm,  # ANY/HBM (NB, 256, 128) f32: full chunk table, blocked
     out_t_ref,  # VMEM (G, 1, RAY_TILE) f32
     out_id_ref,  # VMEM (G, 1, RAY_TILE) int32
-    acc_t,  # VMEM scratch (G, 8, RAY_TILE) f32
-    acc_id,  # VMEM scratch (G, 8, RAY_TILE) f32
+    acc_t,  # VMEM scratch (G, tc, RAY_TILE) f32
+    acc_id,  # VMEM scratch (G, tc, RAY_TILE) f32
     buf,  # VMEM scratch (2, 256, 128) f32: double buffer
     sem,  # DMA semaphores (2,)
     *,
     t_min: float,
     t_max: float,
     eps: float,
+    tri_chunk: int,
 ):
     group = pl.program_id(0)
     miss = jnp.float32(t_max + 1.0)
     nb = counts_ref[group]
+    tc = tri_chunk
+    cpb = BLOCK_SUBLANES // tc  # chunks per block
 
     sub = jax.lax.broadcasted_iota(
-        jnp.int32, (TRI_CHUNK, RAY_TILE), 0
+        jnp.int32, (tc, RAY_TILE), 0
     ).astype(jnp.float32)
 
     # Init accumulators.
     def init_body(g, _):
-        acc_t[g] = jnp.full((TRI_CHUNK, RAY_TILE), miss, dtype=jnp.float32)
-        acc_id[g] = jnp.zeros((TRI_CHUNK, RAY_TILE), dtype=jnp.float32)
+        acc_t[g] = jnp.full((tc, RAY_TILE), miss, dtype=jnp.float32)
+        acc_id[g] = jnp.zeros((tc, RAY_TILE), dtype=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, TILE_GROUP, init_body, 0)
@@ -118,7 +126,7 @@ def _mt_stream_kernel(
                 def chunk_body(cj, carry):
                     bt, bid = carry
                     bit = (word >> cj) & 1
-                    chunk = buf[slot, pl.ds(cj * TRI_CHUNK, TRI_CHUNK), :]
+                    chunk = buf[slot, pl.ds(cj * tc, tc), :]
                     ax = chunk[:, 0:1]
                     ay = chunk[:, 1:2]
                     az = chunk[:, 2:3]
@@ -160,11 +168,11 @@ def _mt_stream_kernel(
                     )
                     ok = ok & (w > t_min) & (w < t_max)
 
-                    c_global = blk * BLOCK_CHUNKS + cj
+                    c_global = blk * cpb + cj
                     pid = (
                         sub
                         + jnp.float32(1.0)
-                        + c_global.astype(jnp.float32) * TRI_CHUNK
+                        + c_global.astype(jnp.float32) * tc
                     )
                     ok = ok & (pid != excl)
 
@@ -176,7 +184,7 @@ def _mt_stream_kernel(
                     )
 
                 bt, bid = jax.lax.fori_loop(
-                    0, BLOCK_CHUNKS, chunk_body, (acc_t[g], acc_id[g])
+                    0, cpb, chunk_body, (acc_t[g], acc_id[g])
                 )
                 acc_t[g] = bt
                 acc_id[g] = bid
@@ -222,13 +230,17 @@ def stream_closest_hit(
     """Closest hit over an HBM-resident chunk table -> (t [N], pid [N])."""
     n = o.shape[0]
     nc = chunks.num_chunks
+    tc = int(chunks.comp.shape[1])
+    if BLOCK_SUBLANES % tc:
+        raise ValueError(f"tri_chunk {tc} must divide {BLOCK_SUBLANES}")
+    cpb = BLOCK_SUBLANES // tc  # chunks per block
     # Prim ids travel as f32 inside the kernel (exact below 2^24).
-    if nc * TRI_CHUNK + 1 >= (1 << 24):
+    if nc * tc + 1 >= (1 << 24):
         raise ValueError(
-            f"{nc * TRI_CHUNK} triangles exceeds the kernel's exact-f32 "
+            f"{nc * tc} triangles exceeds the kernel's exact-f32 "
             "prim-id range (2^24); shard the scene or widen pid handling"
         )
-    nb = -(-nc // BLOCK_CHUNKS)
+    nb = -(-nc // cpb)
     t_tiles = max(1, -(-n // RAY_TILE))
     t_groups = -(-t_tiles // TILE_GROUP)
     t_tiles = t_groups * TILE_GROUP
@@ -255,12 +267,12 @@ def stream_closest_hit(
         t_min=t_min, t_max=t_max, t_cap=cap_p,
     )  # [T, Nc]
 
-    # Bitfield words: one u32 per 32-chunk block per subtile.
-    nc_pad = nb * BLOCK_CHUNKS
+    # Bitfield words: one int32 per block per subtile, bit j = chunk j.
+    nc_pad = nb * cpb
     bits = jnp.pad(overlap, ((0, 0), (0, nc_pad - nc))).astype(jnp.int32)
-    weights = jnp.int32(1) << jnp.arange(BLOCK_CHUNKS, dtype=jnp.int32)
+    weights = jnp.int32(1) << jnp.arange(cpb, dtype=jnp.int32)
     words = jnp.sum(
-        bits.reshape(t_tiles, nb, BLOCK_CHUNKS) * weights[None, None, :],
+        bits.reshape(t_tiles, nb, cpb) * weights[None, None, :],
         axis=-1,
         dtype=jnp.int32,
     )  # [T, NB]
@@ -288,10 +300,10 @@ def stream_closest_hit(
     pad_chunks = nc_pad - nc
     if pad_chunks:
         tri = jnp.pad(tri, ((0, pad_chunks), (0, 0), (0, 0)))
-    tri = tri.reshape(nb, BLOCK_SUBLANES, RAY_TILE)
+    tri = tri.reshape(nb, BLOCK_SUBLANES, LANES)
 
     kernel = partial(
-        _mt_stream_kernel, t_min=t_min, t_max=t_max, eps=eps
+        _mt_stream_kernel, t_min=t_min, t_max=t_max, eps=eps, tri_chunk=tc
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -315,9 +327,9 @@ def stream_closest_hit(
             pl.BlockSpec((TILE_GROUP, 1, RAY_TILE), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE_GROUP, TRI_CHUNK, RAY_TILE), jnp.float32),
-            pltpu.VMEM((TILE_GROUP, TRI_CHUNK, RAY_TILE), jnp.float32),
-            pltpu.VMEM((2, BLOCK_SUBLANES, RAY_TILE), jnp.float32),
+            pltpu.VMEM((TILE_GROUP, tc, RAY_TILE), jnp.float32),
+            pltpu.VMEM((TILE_GROUP, tc, RAY_TILE), jnp.float32),
+            pltpu.VMEM((2, BLOCK_SUBLANES, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -485,3 +485,102 @@ def packet_closest_hit(
     )(counts, ids[:, None, :], rays, tri)
 
     return out_t.reshape(n_pad)[:n], out_id.reshape(n_pad)[:n]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SegmentedTriChunks:
+    """Chunk table pre-split into VMEM-sized segments.
+
+    Pre-slicing at build time (concrete arrays) keeps the per-frame
+    graph free of table-slice copies; measured equivalent to slicing
+    inside the jit, so this is hygiene, not a hot-path requirement.
+    ``prim_base`` is the global prim-id offset of each segment
+    (static)."""
+
+    segments: tuple[TriChunks, ...]
+    prim_base: tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+
+    @property
+    def num_chunks(self) -> int:
+        return sum(s.num_chunks for s in self.segments)
+
+
+def split_chunks(
+    chunks: TriChunks,
+    max_seg_tris: int = MAX_VMEM_CHUNKS * TRI_CHUNK,
+) -> SegmentedTriChunks:
+    """Split a (concrete) chunk table into VMEM-sized segments.
+
+    Call this at build time on concrete arrays so each segment is its
+    own buffer (see SegmentedTriChunks)."""
+    nc = chunks.num_chunks
+    tc = int(chunks.comp.shape[1])
+    seg_chunks = max(
+        CHUNK_ALIGN, (max_seg_tris // tc) // CHUNK_ALIGN * CHUNK_ALIGN
+    )
+    segments = []
+    bases = []
+    for s0 in range(0, nc, seg_chunks):
+        s1 = min(nc, s0 + seg_chunks)
+        segments.append(
+            TriChunks(
+                comp=jnp.asarray(np.asarray(chunks.comp[s0:s1])),
+                bmin=jnp.asarray(np.asarray(chunks.bmin[s0:s1])),
+                bmax=jnp.asarray(np.asarray(chunks.bmax[s0:s1])),
+                num_chunks=s1 - s0,
+            )
+        )
+        bases.append(s0 * tc)
+    return SegmentedTriChunks(
+        segments=tuple(segments), prim_base=tuple(bases)
+    )
+
+
+def packet_closest_hit_segmented(
+    seg: SegmentedTriChunks,
+    o: jax.Array,
+    d: jax.Array,
+    excl: jax.Array,
+    valid: jax.Array | None = None,
+    t_cap: jax.Array | None = None,
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+    cull_block: int = CULL_BLOCK,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Closest hit over a table larger than VMEM: run the resident
+    kernel per pre-sliced VMEM-sized segment and merge.
+
+    Each segment is an ordinary ``packet_closest_hit`` call — per-tile
+    EXACT interval culling and compacted lists, unlike the DMA-streaming
+    kernel's group-union block lists.  Merging keeps the smaller t; on
+    exact ties the earlier segment wins, which preserves the naive
+    loop's first-strictly-smaller semantics because prim ids grow with
+    segment index."""
+    best_t = None
+    best_id = None
+    for base, chunk_seg in zip(seg.prim_base, seg.segments):
+        # The kernel compares prim ids in segment-local space; shift the
+        # exclusion in, and the returned hits back out.  Rays whose excl
+        # lies outside this segment get an out-of-range local id that
+        # matches nothing (exactly right).
+        excl_local = excl - jnp.int32(base)
+        t_s, id_s = packet_closest_hit(
+            chunk_seg, o, d, excl_local, valid, t_cap,
+            t_min=t_min, t_max=t_max, eps=eps,
+            cull_block=cull_block, ray_tile=ray_tile, interpret=interpret,
+        )
+        id_s = jnp.where(id_s > 0, id_s + jnp.int32(base), 0)
+        if best_t is None:
+            best_t, best_id = t_s, id_s
+        else:
+            better = t_s < best_t
+            best_t = jnp.where(better, t_s, best_t)
+            best_id = jnp.where(better, id_s, best_id)
+    return best_t, best_id

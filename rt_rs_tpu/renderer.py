@@ -80,6 +80,18 @@ class Renderer:
 
         self.camera = scene.camera
         self.camera_controller = scene.camera_controller
+        if tuple(self.camera.pos) == tuple(self.camera.at):
+            # pos == at normalizes a zero vector into NaN ray
+            # directions; NaNs defeat conservative culling, so frames
+            # are both garbage AND silently ~5x slower (PERF.md).
+            import warnings
+
+            warnings.warn(
+                "camera pos == at: ray directions will be NaN "
+                "(the reference renders garbage here too); set a "
+                "real camera on the scene",
+                stacklevel=2,
+            )
 
     # ------------------------------------------------------------------
 

@@ -114,7 +114,11 @@ def test_vmem_guard():
     arrays = scene.pack()
     with pytest.raises(ValueError, match="streaming"):
         build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
-    # The handler itself succeeds (routes to the streaming kernel).
+    # The handler itself succeeds (routes to the segmented
+    # beyond-VMEM path).
+    from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+
     h = get_handler("pbvh", interpret=True)
     accel, _ = h.build(scene, arrays)
-    assert accel.num_chunks > 1536
+    assert isinstance(accel, SegmentedTriChunks)
+    assert len(accel.segments) > 1

@@ -73,9 +73,13 @@ def test_stream_matches_naive_beyond_vmem_cap():
     _, na = naive.build(scene, arrays)
     nf = naive.intersect_fn(None, na, cfg)
 
+    from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+
     h = get_handler("pbvh", interpret=True)
     accel, ha = h.build(scene, arrays)
-    assert accel.num_chunks > 1536  # actually exercises streaming
+    # Beyond the VMEM cap the handler pre-slices into segments.
+    assert isinstance(accel, SegmentedTriChunks)
+    assert len(accel.segments) > 1
     hf = h.intersect_fn(accel, ha, cfg)
 
     o, d = _rays(rng, 64)
@@ -83,5 +87,11 @@ def test_stream_matches_naive_beyond_vmem_cap():
     ones = jnp.ones((64,), bool)
     t0, i0 = nf(o, d, excl, ones)
     t1, i1 = hf(o, d, excl, ones)
-    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-4)
+    # atol 5e-6: the random soup contains near-coincident triangles
+    # whose per-triangle t differs between naive's and the kernel's
+    # (algebraically identical) MT formulations by a few ulps, which
+    # can flip which of two ~equal hits wins.
+    np.testing.assert_allclose(
+        np.asarray(t1), np.asarray(t0), rtol=1e-4, atol=5e-6
+    )
     assert ((np.asarray(i1) == 0) == (np.asarray(i0) == 0)).all()
