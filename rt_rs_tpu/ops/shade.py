@@ -60,6 +60,43 @@ def _reflect(e: jax.Array, n: jax.Array) -> jax.Array:
     return e - 2.0 * jnp.sum(e * n, axis=-1, keepdims=True) * n
 
 
+def padded_block_dims(
+    width: int, rows: int, block: tuple[int, int]
+) -> tuple[int, int]:
+    """(rows, width) padded up to multiples of the block shape."""
+    bh, bw = block
+    return -(-rows // bh) * bh, -(-width // bw) * bw
+
+
+def _blockify(grid: jax.Array, block: tuple[int, int]) -> jax.Array:
+    """Flatten a padded [Rp, Wp] grid in (block-row, block-col,
+    in-block-row, in-block-col) order — pure reshape/transpose."""
+    bh, bw = block
+    rp, wp = grid.shape
+    return (
+        grid.reshape(rp // bh, bh, wp // bw, bw)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+
+
+def unblock_colors(
+    color: jax.Array,  # [Rp*Wp, 3] in block order
+    width: int,
+    rows: int,
+    block: tuple[int, int],
+) -> jax.Array:
+    """Invert the block ordering -> [rows, width, 3] raster image."""
+    bh, bw = block
+    rp, wp = padded_block_dims(width, rows, block)
+    img = (
+        color.reshape(rp // bh, wp // bw, bh, bw, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rp, wp, 3)
+    )
+    return img[:rows, :width]
+
+
 def camera_rays(
     camera_pos: jax.Array,  # [3]
     camera_at: jax.Array,  # [3]
@@ -67,6 +104,7 @@ def camera_rays(
     height: int,
     y_offset: jax.Array | int = 0,
     rows: int | None = None,
+    block: tuple[int, int] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Primary rays for every pixel -> (origins [R*W, 3], dirs [R*W, 3]).
 
@@ -76,6 +114,16 @@ def camera_rays(
     ``y_offset``/``rows`` select a horizontal band of the image — the
     unit of multi-chip sharding (each device renders its own band; see
     :mod:`rt_rs_tpu.parallel`).  Defaults cover the full frame.
+
+    ``block=(bh, bw)`` emits rays in 2-D pixel-block order instead of
+    raster order (undo with :func:`unblock_colors`).  Per-ray values are
+    bit-identical either way; the point is packet shape: a 128-ray
+    packet tile becomes a compact bh x bw pixel block instead of a
+    128 x 1 strip, so the tile's frustum (and every secondary packet's
+    origin bound) tightens and conservative chunk culling sheds more
+    work (measured in PERF.md).  Dimensions that don't divide the block
+    are padded with clamped edge rays and cropped by
+    ``unblock_colors``.
     """
     if rows is None:
         rows = height
@@ -87,8 +135,22 @@ def camera_rays(
     ys = (
         (jnp.arange(rows, dtype=jnp.float32) + y_offset) / height
     ) - 0.5
-    norm_x = jnp.tile(xs, rows)  # [R*W]
-    norm_y = jnp.repeat(ys, width)
+    if block is None:
+        norm_x = jnp.tile(xs, rows)  # [R*W]
+        norm_y = jnp.repeat(ys, width)
+    else:
+        rp, wp = padded_block_dims(width, rows, block)
+        # Clamped edge indices: padding duplicates border pixels (same
+        # float coordinates as the real ones -> identical ray math) and
+        # unblock_colors crops them away.
+        xi = jnp.minimum(jnp.arange(wp), width - 1)
+        yi = jnp.minimum(jnp.arange(rp), rows - 1)
+        norm_x = _blockify(
+            jnp.broadcast_to(xs[xi][None, :], (rp, wp)), block
+        )
+        norm_y = _blockify(
+            jnp.broadcast_to(ys[yi][:, None], (rp, wp)), block
+        )
 
     pt = (
         right[None, :] * norm_x[:, None]
@@ -211,11 +273,17 @@ def render(
     width: int,
     height: int,
     compact: bool = False,
+    block: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Full frame -> color [H, W, 3] float32 (unclamped, like the
-    rgba8unorm store input of compute.wgsl:291)."""
-    o, d = camera_rays(camera_pos, camera_at, width, height)
+    rgba8unorm store input of compute.wgsl:291).
+
+    ``block`` traces rays in pixel-block order (see
+    :func:`camera_rays`); the output image is identical either way."""
+    o, d = camera_rays(camera_pos, camera_at, width, height, block=block)
     color = trace(scene, intersect_fn, cfg, o, d, compact=compact)
+    if block is not None:
+        return unblock_colors(color, width, height, block)
     return color.reshape(height, width, 3)
 
 

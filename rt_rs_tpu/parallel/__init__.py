@@ -70,14 +70,18 @@ def make_sharded_render(
 
     intersect = handler.intersect_fn(accel, arrays, cfg)
 
+    # Pixel-block packet order within each device's band (bit-identical
+    # output, tighter packet frusta; see shade.camera_rays).
+    blk = (8, 16)
+
     def band_render(row0, camera_pos, camera_at):
         # row0: [1] per-device band start (sharded scalar).
         o, d = shade.camera_rays(
             camera_pos, camera_at, width, height,
-            y_offset=row0[0], rows=rows_per_dev,
+            y_offset=row0[0], rows=rows_per_dev, block=blk,
         )
         color = shade.trace(arrays, intersect, cfg, o, d)
-        band = color.reshape(rows_per_dev, width, 3)
+        band = shade.unblock_colors(color, width, rows_per_dev, blk)
         if with_metering:
             # Cross-chip collective (ICI): global mean luminance for
             # exposure metering.

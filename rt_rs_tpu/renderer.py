@@ -34,7 +34,17 @@ from rt_rs_tpu.scene.arrays import SceneArrays
 from rt_rs_tpu.utils.sync import device_sync
 
 
-@partial(jax.jit, static_argnames=("handler", "cfg", "width", "height"))
+# Default pixel-block shape for packet ray order: a 128-ray packet tile
+# covers an 8x16 pixel block instead of a 128x1 raster strip.  Output is
+# bit-identical; tile frusta (and secondary-packet origin bounds)
+# tighten, so chunk culling sheds real work — measured 27.1 -> 15.2 ms
+# at 384x288 and 304 -> 234 ms at 1080p (teatime orbit; PERF.md).
+DEFAULT_BLOCK: tuple[int, int] = (8, 16)
+
+
+@partial(
+    jax.jit, static_argnames=("handler", "cfg", "width", "height", "block")
+)
 def _render_jit(
     arrays: SceneArrays,
     accel: Any,
@@ -45,10 +55,12 @@ def _render_jit(
     cfg: ComputeConfig,
     width: int,
     height: int,
+    block: tuple[int, int] | None,
 ) -> jax.Array:
     intersect = handler.intersect_fn(accel, arrays, cfg)
     return shade.render(
-        arrays, intersect, cfg, camera_pos, camera_at, width, height
+        arrays, intersect, cfg, camera_pos, camera_at, width, height,
+        block=block,
     )
 
 
@@ -62,9 +74,11 @@ class Renderer:
         handler: str | IntrsHandler = "bvh",
         handler_kwargs: dict[str, Any] | None = None,
         size: tuple[int, int] | None = None,
+        block: tuple[int, int] | None = DEFAULT_BLOCK,
     ):
         self.scene = scene
         self.config = config or Config()
+        self.block = block
         if isinstance(handler, IntrsHandler):
             self.handler = handler
         else:
@@ -106,6 +120,7 @@ class Renderer:
             cfg=self.config.compute,
             width=self.width,
             height=self.height,
+            block=self.block,
         )
         if block:
             device_sync(out)
@@ -261,7 +276,8 @@ class DynamicRenderer:
                 interpret=interpret,
             )
             return shade.render(
-                arrays, intersect, cfg, camera_pos, camera_at, width, height
+                arrays, intersect, cfg, camera_pos, camera_at, width, height,
+                block=DEFAULT_BLOCK,
             )
 
         self._step = jax.jit(step)
