@@ -53,11 +53,12 @@ class Resolution:
 
     The reference's untagged enum ``Dynamic(wg) | Sized(w,h) |
     Fixed{size, wg}`` (``src/lib/mod.rs:56-77``) collapses here to an
-    optional size plus the parsed ``wg`` value.  ``wg_hint`` is kept
-    only so all three JSON forms round-trip; the reference's
-    workgroup-size *selection* (GCD clamp, ``src/lib/mod.rs:79-105``)
-    has no TPU analogue — ray packets are 128 lanes by hardware, not a
-    tunable (see PARITY.md "Architectural mappings").
+    optional size plus the parsed ``wg`` value.  The reference's
+    workgroup size picks the pixel tile a GPU workgroup covers
+    (``src/lib/mod.rs:79-105``); the TPU analogue is the pixel-block
+    shape a 128-ray packet tile covers (``shade.camera_rays(block=)``)
+    — :meth:`block` maps ``wg_hint`` to it (wg x (128/wg) pixels, so
+    the default wg=16 gives the measured-best 8x16; PERF.md).
     """
 
     width: int | None = None
@@ -95,6 +96,17 @@ class Resolution:
         if self.width is None or self.height is None:
             return fallback
         return (self.width, self.height)
+
+    def block(self, lanes: int = 128) -> tuple[int, int]:
+        """Packet pixel-block shape ``(bh, bw)`` from the workgroup
+        hint: ``bw = clamp(wg, 1..lanes)`` pixels wide, ``lanes/bw``
+        tall — one ``lanes``-ray packet tile per block (the
+        ``Resolution::wg()`` analogue; consumed by ``Renderer``)."""
+        wg = self.wg_hint or 16
+        bw = max(1, min(int(wg), lanes))
+        while lanes % bw:  # keep bh * bw == lanes exact
+            bw -= 1
+        return (lanes // bw, bw)
 
 
 @dataclasses.dataclass(frozen=True)

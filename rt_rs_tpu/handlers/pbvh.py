@@ -35,6 +35,11 @@ from rt_rs_tpu.scene.arrays import SceneArrays
 
 
 DEFAULT_TRI_CHUNK = 64  # resident-kernel chunk height (PERF.md sweep)
+# 256-ray packet tiles (a 16x16 pixel block under the swizzle) beat the
+# 128-lane native tile once rays arrive in 2-D blocks: the per-list-
+# entry fixed cost amortizes 2x and the 16x16 frustum is no looser than
+# 8x16 (PERF.md round-2 re-tune: 1080p 235 -> 224 ms).
+DEFAULT_RAY_TILE = 256
 
 
 def _default_interpret() -> bool:
@@ -73,6 +78,15 @@ class PacketBvhIntrs(IntrsHandler):
             raise ValueError(f"unknown streaming_mode {streaming_mode!r}")
         self.streaming_mode = streaming_mode
         self.bvh_data: BvhData | None = self._data
+
+    @property
+    def block_lanes(self) -> int:
+        """Rays per packet tile — the Renderer sizes its pixel-block
+        swizzle to put exactly one 2-D block in each tile.  The DMA
+        streaming kernel has a fixed 128-lane tile."""
+        if self.streaming_mode == "dma":
+            return 128
+        return DEFAULT_RAY_TILE if self.ray_tile is None else self.ray_tile
 
     def build(self, scene: Scene, arrays: SceneArrays):
         data = self._data
@@ -138,11 +152,9 @@ class PacketBvhIntrs(IntrsHandler):
                 packet_closest_hit_segmented,
             )
 
-            kwargs = {}
+            kwargs = {"ray_tile": self.block_lanes}
             if self.cull_block is not None:
                 kwargs["cull_block"] = self.cull_block
-            if self.ray_tile is not None:
-                kwargs["ray_tile"] = self.ray_tile
             return partial(
                 packet_closest_hit_segmented,
                 accel,
@@ -173,11 +185,9 @@ class PacketBvhIntrs(IntrsHandler):
                 eps=cfg.eps,
                 interpret=self.interpret,
             )
-        kwargs = {}
+        kwargs = {"ray_tile": self.block_lanes}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
-        if self.ray_tile is not None:
-            kwargs["ray_tile"] = self.ray_tile
         return partial(
             packet_closest_hit,
             accel,

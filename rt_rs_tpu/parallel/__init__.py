@@ -71,8 +71,11 @@ def make_sharded_render(
     intersect = handler.intersect_fn(accel, arrays, cfg)
 
     # Pixel-block packet order within each device's band (bit-identical
-    # output, tighter packet frusta; see shade.camera_rays).
-    blk = (8, 16)
+    # output, tighter packet frusta; see shade.camera_rays), sized to
+    # the handler's rays-per-tile.
+    from rt_rs_tpu.config import Resolution
+
+    blk = Resolution().block(getattr(handler, "block_lanes", 128))
 
     def band_render(row0, camera_pos, camera_at):
         # row0: [1] per-device band start (sharded scalar).

@@ -34,12 +34,13 @@ from rt_rs_tpu.scene.arrays import SceneArrays
 from rt_rs_tpu.utils.sync import device_sync
 
 
-# Default pixel-block shape for packet ray order: a 128-ray packet tile
-# covers an 8x16 pixel block instead of a 128x1 raster strip.  Output is
-# bit-identical; tile frusta (and secondary-packet origin bounds)
-# tighten, so chunk culling sheds real work — measured 27.1 -> 15.2 ms
-# at 384x288 and 304 -> 234 ms at 1080p (teatime orbit; PERF.md).
-DEFAULT_BLOCK: tuple[int, int] = (8, 16)
+# Packet rays are generated in pixel-block order (shade.camera_rays
+# block=): a packet tile covers a compact 2-D pixel block instead of a
+# raster strip.  Output is bit-identical; tile frusta (and secondary-
+# packet origin bounds) tighten, so chunk culling sheds real work —
+# measured 27.1 -> 14.7 ms at 384x288 and 304 -> 224 ms at 1080p
+# (teatime orbit; PERF.md).  The shape comes from
+# Resolution.block(handler.block_lanes); see Renderer.__init__.
 
 
 @partial(
@@ -74,15 +75,23 @@ class Renderer:
         handler: str | IntrsHandler = "bvh",
         handler_kwargs: dict[str, Any] | None = None,
         size: tuple[int, int] | None = None,
-        block: tuple[int, int] | None = DEFAULT_BLOCK,
+        block: tuple[int, int] | None | str = "auto",
     ):
         self.scene = scene
         self.config = config or Config()
-        self.block = block
         if isinstance(handler, IntrsHandler):
             self.handler = handler
         else:
             self.handler = get_handler(handler, **(handler_kwargs or {}))
+        # "auto" derives the packet pixel-block from the config's
+        # workgroup hint (Resolution.block(), the reference's wg()
+        # analogue) sized to the handler's rays-per-tile — 16x16 for
+        # the 256-ray pbvh default, (8, 16) for 128-lane backends.
+        if block == "auto":
+            lanes = getattr(self.handler, "block_lanes", 128)
+            self.block = self.config.resolution.block(lanes)
+        else:
+            self.block = block
 
         self.width, self.height = (
             size if size is not None else self.config.resolution.size()
@@ -215,6 +224,7 @@ class DynamicRenderer:
         import dataclasses as _dc
 
         from rt_rs_tpu.handlers.lbvh import build_accel_device, device_chunks
+        from rt_rs_tpu.handlers.pbvh import DEFAULT_RAY_TILE
         from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
 
         self.scene = scene
@@ -273,11 +283,12 @@ class DynamicRenderer:
                 t_min=cfg.t_min,
                 t_max=cfg.t_max,
                 eps=cfg.eps,
+                ray_tile=DEFAULT_RAY_TILE,
                 interpret=interpret,
             )
             return shade.render(
                 arrays, intersect, cfg, camera_pos, camera_at, width, height,
-                block=DEFAULT_BLOCK,
+                block=self.config.resolution.block(DEFAULT_RAY_TILE),
             )
 
         self._step = jax.jit(step)

@@ -32,3 +32,16 @@ def test_resolution_json_forms():
     r = Resolution.from_json({"size": {"width": 10, "height": 20}, "wg": 2})
     assert r.size() == (10, 20)
     assert r.wg_hint == 2
+
+
+def test_resolution_block_from_wg_hint():
+    """Resolution.block() is the wg() analogue: the packet pixel-block
+    shape, wg wide x 128/wg tall (mod.rs:79-105 -> camera_rays block)."""
+    from rt_rs_tpu.config import Resolution
+
+    assert Resolution().block() == (8, 16)  # default wg=16
+    assert Resolution.dynamic(32).block() == (4, 32)
+    assert Resolution.dynamic(8).block() == (16, 8)
+    assert Resolution.sized(640, 480).block() == (8, 16)  # no hint
+    bh, bw = Resolution.dynamic(7).block()  # non-divisor clamps down
+    assert bh * bw == 128
