@@ -160,6 +160,15 @@ class BvhIntrs(IntrsHandler):
             return False
         return jax.default_backend() == "tpu" and fits
 
+    @property
+    def block_lanes(self) -> int:
+        """Rays per packet tile when the packet backend is active; the
+        Renderer sizes its pixel-block swizzle to it (harmless for the
+        threaded fallback, which is order-invariant)."""
+        from rt_rs_tpu.ops.pallas.packet_trace import TUNED_RAY_TILE
+
+        return TUNED_RAY_TILE
+
     def build(self, scene: Scene, arrays: SceneArrays):
         data = self._data
         if data is None:
@@ -171,9 +180,15 @@ class BvhIntrs(IntrsHandler):
         arrays = reorder_scene_arrays(arrays, data.indices)
         chunks = None
         if self._use_packet(scene.num_prims):
-            from rt_rs_tpu.ops.pallas.packet_trace import build_tri_chunks
+            from rt_rs_tpu.ops.pallas.packet_trace import (
+                TUNED_TRI_CHUNK,
+                build_tri_chunks,
+            )
 
-            chunks = build_tri_chunks(arrays.pa, arrays.pb, arrays.pc)
+            chunks = build_tri_chunks(
+                arrays.pa, arrays.pb, arrays.pc,
+                tri_chunk=TUNED_TRI_CHUNK,
+            )
         return BvhAccel(nodes=nodes, chunks=chunks), arrays
 
     def stats(self, accel: BvhAccel) -> IntrsStats:
@@ -181,7 +196,10 @@ class BvhIntrs(IntrsHandler):
 
     def intersect_fn(self, accel: BvhAccel, arrays: SceneArrays, cfg: ComputeConfig):
         if accel.chunks is not None:
-            from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
+            from rt_rs_tpu.ops.pallas.packet_trace import (
+                TUNED_RAY_TILE,
+                packet_closest_hit,
+            )
 
             return partial(
                 packet_closest_hit,
@@ -189,6 +207,7 @@ class BvhIntrs(IntrsHandler):
                 t_min=cfg.t_min,
                 t_max=cfg.t_max,
                 eps=cfg.eps,
+                ray_tile=TUNED_RAY_TILE,
                 interpret=jax.default_backend() != "tpu",
             )
         return partial(

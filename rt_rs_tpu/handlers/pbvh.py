@@ -34,12 +34,10 @@ from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.scene.arrays import SceneArrays
 
 
-DEFAULT_TRI_CHUNK = 64  # resident-kernel chunk height (PERF.md sweep)
-# 256-ray packet tiles (a 16x16 pixel block under the swizzle) beat the
-# 128-lane native tile once rays arrive in 2-D blocks: the per-list-
-# entry fixed cost amortizes 2x and the 16x16 frustum is no looser than
-# 8x16 (PERF.md round-2 re-tune: 1080p 235 -> 224 ms).
-DEFAULT_RAY_TILE = 256
+from rt_rs_tpu.ops.pallas.packet_trace import (  # noqa: E402
+    TUNED_RAY_TILE as DEFAULT_RAY_TILE,
+    TUNED_TRI_CHUNK as DEFAULT_TRI_CHUNK,
+)
 
 
 def _default_interpret() -> bool:

@@ -7,10 +7,15 @@ internal/leaf records, 8-slot u16 leaf payloads, interleaved), and the
 reported footprint is ``16 B x records`` (rf.rs:216-219) — this is the
 memory-vs-speed trade the reference study measures (pdf §4.1-4.2).
 
-Unlike the plain ``bvh`` backend the scene prims are NOT reordered
-(the reference's RF handler leaves ``scene.prims`` untouched); leaves
-address prims by id through the payload slots, with 0 = empty
-(rf.rs:429-441).
+Unlike the plain ``bvh`` backend the RF *record format* does not
+assume reordered prims (the reference's RF handler leaves
+``scene.prims`` untouched); leaves address prims by id through the
+payload slots, with 0 = empty (rf.rs:429-441).  The threaded backend
+preserves that exactly.  The packet backend reorders the scene arrays
+to leaf order internally (invisible to the format/footprint story, and
+it avoids a per-call id remap — PERF.md "rf_bvh remap" entry); hit ids
+are then leaf-space rows of the *returned* arrays, exactly like
+``handlers/bvh.py``.
 
 Traversal: the same stackless threaded walk as ``handlers/bvh.py``,
 with two RF-specific differences — node bounds are the *unpacked f16*
@@ -43,13 +48,11 @@ from rt_rs_tpu.scene.arrays import SceneArrays
 @dataclasses.dataclass(frozen=True)
 class RfAccel:
     """Accel pytree for RfBvhIntrs: packed-record traversal arrays plus
-    the optional packet chunk table + id remap (kept here, not on the
-    handler instance, so one handler instance can serve multiple
-    scenes)."""
+    the optional packet chunk table (kept here, not on the handler
+    instance, so one handler instance can serve multiple scenes)."""
 
     records: "RfArrays"
     chunks: object = None  # TriChunks | None
-    remap: object = None  # jax.Array | None (chunk-space -> original id)
 
 
 @jax.tree_util.register_dataclass
@@ -81,15 +84,23 @@ class RfBvhIntrs(IntrsHandler):
         ``backend``: ``"threaded"`` walks the packed records with the
         f16 bounds (the format-faithful path; slow on real TPUs because
         of XLA gathers), ``"packet"`` routes intersection through the
-        Pallas kernel over the RF leaf ordering and remaps hit ids back
-        to the unreordered prim space (identical images; the packed
-        records still define footprint + structure), ``"auto"`` picks
-        packet on TPU when the scene fits in VMEM."""
+        Pallas kernel over leaf-reordered scene arrays (identical
+        images; the packed records still define footprint + structure),
+        ``"auto"`` picks packet on TPU when the scene fits in VMEM."""
         self.eps = eps
         self.target_item_count = target_item_count
         self.backend = backend
         self.bvh_data: BvhData | None = None
         self.rf_data: RfData | None = None
+
+    @property
+    def block_lanes(self) -> int:
+        """Rays per packet tile when the packet backend is active; the
+        Renderer sizes its pixel-block swizzle to it (harmless for the
+        threaded fallback, which is order-invariant)."""
+        from rt_rs_tpu.ops.pallas.packet_trace import TUNED_RAY_TILE
+
+        return TUNED_RAY_TILE
 
     def build(self, scene: Scene, arrays: SceneArrays):
         data = build_bvh(
@@ -122,18 +133,19 @@ class RfBvhIntrs(IntrsHandler):
             and scene.num_prims <= MAX_VMEM_CHUNKS * TRI_CHUNK
         )
         chunks = None
-        chunk_to_orig = None
         if use_packet:
-            perm = np.concatenate(
-                [[0], data.indices.astype(np.int64) + 1]
-            )
+            from rt_rs_tpu.handlers.bvh import reorder_scene_arrays
+            from rt_rs_tpu.ops.pallas.packet_trace import TUNED_TRI_CHUNK
+
+            # Leaf-reorder the scene arrays (internal to the packet
+            # path; the RF records/footprint are unaffected) so the
+            # kernel's chunk-space ids ARE the scene-array rows — no
+            # per-call remap gathers (PERF.md).
+            arrays = reorder_scene_arrays(arrays, data.indices)
             chunks = build_tri_chunks(
-                np.asarray(arrays.pa)[perm],
-                np.asarray(arrays.pb)[perm],
-                np.asarray(arrays.pc)[perm],
+                arrays.pa, arrays.pb, arrays.pc,
+                tri_chunk=TUNED_TRI_CHUNK,
             )
-            # Map packet ids (leaf-ordered space) back to original ids.
-            chunk_to_orig = jnp.asarray(perm.astype(np.int32))
 
         hit_link, miss_link = data.escape_links()
         records = RfArrays(
@@ -146,37 +158,32 @@ class RfBvhIntrs(IntrsHandler):
             num_nodes=data.num_nodes,
             footprint=rf.byte_size(),
         )
-        accel = RfAccel(
-            records=records, chunks=chunks, remap=chunk_to_orig
-        )
-        return accel, arrays  # no prim reorder (rf.rs parity)
+        accel = RfAccel(records=records, chunks=chunks)
+        # arrays are leaf-reordered iff the packet backend is active;
+        # the threaded path keeps rf.rs's untouched prim order.
+        return accel, arrays
 
     def stats(self, accel: RfAccel) -> IntrsStats:
         return IntrsStats(name="RF-BVH", size=accel.records.footprint)
 
     def intersect_fn(self, accel: RfAccel, arrays: SceneArrays, cfg: ComputeConfig):
         if accel.chunks is not None:
-            from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
+            from rt_rs_tpu.ops.pallas.packet_trace import (
+                TUNED_RAY_TILE,
+                packet_closest_hit,
+            )
 
-            chunks = accel.chunks
-            remap = accel.remap
-            interpret = jax.default_backend() != "tpu"
-
-            def intersect(o, d, excl, valid, t_cap=None):
-                # excl is an ORIGINAL-space id; exclusion must happen in
-                # chunk space, so exclude after remapping instead: run
-                # without excl, then reject the excluded prim by
-                # re-running is wrong — instead translate excl ids into
-                # chunk space via the inverse permutation.
-                t, pid = packet_closest_hit(
-                    chunks, o, d, _to_chunk_space(remap, excl), valid,
-                    t_cap,
-                    t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
-                    interpret=interpret,
-                )
-                return t, remap[pid]
-
-            return intersect
+            # arrays were leaf-reordered in build(), so chunk-space ids
+            # line up with the scene arrays — excl/pid need no remap.
+            return partial(
+                packet_closest_hit,
+                accel.chunks,
+                t_min=cfg.t_min,
+                t_max=cfg.t_max,
+                eps=cfg.eps,
+                ray_tile=TUNED_RAY_TILE,
+                interpret=jax.default_backend() != "tpu",
+            )
         return partial(
             _rf_intersect,
             accel.records,
@@ -187,17 +194,6 @@ class RfBvhIntrs(IntrsHandler):
             t_max=cfg.t_max,
             eps=cfg.eps,
         )
-
-
-def _to_chunk_space(remap: jax.Array, excl: jax.Array) -> jax.Array:
-    """Translate original-space excl ids to the packet's chunk space.
-
-    ``remap`` is the chunk->original permutation; its inverse is built
-    once per trace (host-free, tiny [P] scatter)."""
-    inv = jnp.zeros_like(remap).at[remap].set(
-        jnp.arange(remap.shape[0], dtype=remap.dtype)
-    )
-    return inv[excl]
 
 
 def _rf_intersect(

@@ -50,6 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128  # VPU lane width; also the chunk table's component-lane dim
 RAY_TILE = 128  # default rays per tile (lane dimension; see ray_tile arg)
 TRI_CHUNK = 8  # triangles per chunk (sublane dimension)
+# Measured-optimal knobs for full-frame rendering (PERF.md round-2
+# sweeps): 64-tri chunks amortize the per-list-entry fixed cost; 256-ray
+# tiles (one 16x16 pixel block under the swizzle) amortize it again at
+# no frustum cost.  The kernel-level defaults above stay at the native
+# tile sizes; handlers pass these.
+TUNED_TRI_CHUNK = 64
+TUNED_RAY_TILE = 256
 # Chunk counts are padded to a multiple of CHUNK_ALIGN so the cull can
 # run at any block granularity dividing it (and the streaming kernel's
 # 32-chunk DMA blocks need no extra padding).  Padded chunks have zero

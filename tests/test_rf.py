@@ -159,8 +159,11 @@ def test_rf_packet_backend_matches_threaded(teatime_scene):
     t0, i0 = ft(jnp.asarray(o), jnp.asarray(d), excl, ones)
     t1, i1 = fp(jnp.asarray(o), jnp.asarray(d), excl, ones)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
-    # Exclusion translates correctly across the id remap.
+    # Packet ids are rows of the packet build's (leaf-reordered) arrays;
+    # translate to the threaded handler's original prim space.
+    perm = np.concatenate([[0], np.asarray(hp.bvh_data.indices) + 1])
+    np.testing.assert_array_equal(perm[np.asarray(i1)], np.asarray(i0))
+    # Self-exclusion works in the packet's own id space.
     t2, i2 = fp(jnp.asarray(o), jnp.asarray(d), i1, ones)
     hits = np.asarray(i1) != 0
     assert (np.asarray(i2)[hits] != np.asarray(i1)[hits]).all()
