@@ -63,3 +63,31 @@ class IntrsHandler(abc.ABC):
         """Return the jittable closest-hit:
         ``(o, d, excl, valid, *, t_cap=None) -> (t, id)`` (see
         ``rt_rs_tpu.ops.shade.IntersectFn`` for the contract)."""
+
+    def intersect_tiled_fn(
+        self, accel: Any, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        """Closest-hit over component-major ray tiles:
+        ``(payload [8,T,r], valid [T,r], t_cap=None) -> (t [T,r],
+        pid [T,r])`` — the zero-relayout contract of
+        :func:`rt_rs_tpu.ops.shade.trace_tiled` (payload row 6 is the
+        f32 exclusion id).
+
+        Packet-kernel backends override this with the native tiled
+        entry; this default adapts any AoS ``intersect_fn`` (one
+        [T,r,3] relayout per call — fine for the slow/portable
+        backends)."""
+        import jax.numpy as jnp
+
+        aos = self.intersect_fn(accel, arrays, cfg)
+
+        def tiled(payload, valid, t_cap=None):
+            t_tiles, r = valid.shape
+            o = payload[0:3].transpose(1, 2, 0).reshape(-1, 3)
+            d = payload[3:6].transpose(1, 2, 0).reshape(-1, 3)
+            excl = payload[6].reshape(-1).astype(jnp.int32)
+            cap = None if t_cap is None else t_cap.reshape(-1)
+            t, pid = aos(o, d, excl, valid.reshape(-1), t_cap=cap)
+            return t.reshape(t_tiles, r), pid.reshape(t_tiles, r)
+
+        return tiled

@@ -221,6 +221,24 @@ class BvhIntrs(IntrsHandler):
             eps=cfg.eps,
         )
 
+    def intersect_tiled_fn(
+        self, accel: BvhAccel, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        if accel.chunks is not None:
+            from rt_rs_tpu.ops.pallas.packet_trace import (
+                packet_closest_hit_tiled,
+            )
+
+            return partial(
+                packet_closest_hit_tiled,
+                accel.chunks,
+                t_min=cfg.t_min,
+                t_max=cfg.t_max,
+                eps=cfg.eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return super().intersect_tiled_fn(accel, arrays, cfg)
+
 
 def _node_slab(o, inv_d, bmin, bmax):
     """Vector slab test vs per-ray node bounds [N, 3] -> (near, far).

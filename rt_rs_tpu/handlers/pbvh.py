@@ -195,3 +195,32 @@ class PacketBvhIntrs(IntrsHandler):
             interpret=self.interpret,
             **kwargs,
         )
+
+    def intersect_tiled_fn(self, accel, arrays: SceneArrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            MAX_VMEM_CHUNKS,
+            TRI_CHUNK,
+            SegmentedTriChunks,
+            packet_closest_hit_segmented_tiled,
+            packet_closest_hit_tiled,
+        )
+
+        kwargs = {}
+        if self.cull_block is not None:
+            kwargs["cull_block"] = self.cull_block
+        if isinstance(accel, SegmentedTriChunks):
+            fn = packet_closest_hit_segmented_tiled
+        elif accel.num_chunks * accel.comp.shape[1] > MAX_VMEM_CHUNKS * TRI_CHUNK:
+            # DMA streaming has no tiled entry; adapt the AoS path.
+            return super().intersect_tiled_fn(accel, arrays, cfg)
+        else:
+            fn = packet_closest_hit_tiled
+        return partial(
+            fn,
+            accel,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=self.interpret,
+            **kwargs,
+        )

@@ -195,6 +195,24 @@ class RfBvhIntrs(IntrsHandler):
             eps=cfg.eps,
         )
 
+    def intersect_tiled_fn(
+        self, accel: RfAccel, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        if accel.chunks is not None:
+            from rt_rs_tpu.ops.pallas.packet_trace import (
+                packet_closest_hit_tiled,
+            )
+
+            return partial(
+                packet_closest_hit_tiled,
+                accel.chunks,
+                t_min=cfg.t_min,
+                t_max=cfg.t_max,
+                eps=cfg.eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return super().intersect_tiled_fn(accel, arrays, cfg)
+
 
 def _rf_intersect(
     accel: RfArrays,

@@ -207,7 +207,46 @@ def chunk_overlap_mask(
     i_m = jnp.where(ray_valid[..., None], inv_d, big)
     i_lo = jnp.min(i_m, axis=1)
     i_hi = jnp.max(jnp.where(ray_valid[..., None], inv_d, -big), axis=1)
+    return _overlap_from_bounds(
+        o_lo, o_hi, i_lo, i_hi, ray_valid, bmin, bmax,
+        t_min=t_min, t_max=t_max, t_cap=t_cap,
+    )
 
+
+def chunk_overlap_mask_cm(
+    o3: jax.Array,  # [3, T, r] component-major origins
+    inv3: jax.Array,  # [3, T, r]
+    ray_valid: jax.Array,  # [T, r] bool
+    bmin: jax.Array,
+    bmax: jax.Array,
+    *,
+    t_min: float,
+    t_max: float,
+    t_cap: jax.Array | None = None,  # [T, r]
+) -> jax.Array:
+    """``chunk_overlap_mask`` over component-major ray tiles (rays on
+    lanes) — reductions run along lanes, no [T,r,3] relayout."""
+    big = jnp.float32(3.0e38)
+    v = ray_valid[None, :, :]
+    o_lo = jnp.min(jnp.where(v, o3, big), axis=2).T  # [T, 3]
+    o_hi = jnp.max(jnp.where(v, o3, -big), axis=2).T
+    i_lo = jnp.min(jnp.where(v, inv3, big), axis=2).T
+    i_hi = jnp.max(jnp.where(v, inv3, -big), axis=2).T
+    return _overlap_from_bounds(
+        o_lo, o_hi, i_lo, i_hi, ray_valid, bmin, bmax,
+        t_min=t_min, t_max=t_max, t_cap=t_cap,
+    )
+
+
+def _overlap_from_bounds(
+    o_lo, o_hi, i_lo, i_hi,  # [T, 3] per-tile interval bounds
+    ray_valid,  # [T, r] bool
+    bmin, bmax,  # [Nc, 3]
+    *,
+    t_min: float,
+    t_max: float,
+    t_cap: jax.Array | None,
+) -> jax.Array:
     wob = 2e-6 + 1e-5 * jnp.maximum(jnp.abs(bmin), jnp.abs(bmax))  # [Nc, 3]
     lo_b = bmin - wob
     hi_b = bmax + wob
@@ -215,8 +254,9 @@ def chunk_overlap_mask(
     # Accumulate per-axis to keep live temporaries at [T, Nc] (a single
     # [T, Nc, 3] formulation materializes ~10 x 150 MB buffers at 1080p
     # and becomes HBM-bound).
-    near_lb = jnp.full((o.shape[0], bmin.shape[0]), -jnp.inf, dtype=jnp.float32)
-    far_ub = jnp.full((o.shape[0], bmin.shape[0]), jnp.inf, dtype=jnp.float32)
+    n_tiles = o_lo.shape[0]
+    near_lb = jnp.full((n_tiles, bmin.shape[0]), -jnp.inf, dtype=jnp.float32)
+    far_ub = jnp.full((n_tiles, bmin.shape[0]), jnp.inf, dtype=jnp.float32)
     for ax in range(3):
         a_lo = lo_b[None, :, ax] - o_hi[:, None, ax]  # [T, Nc]
         a_hi = lo_b[None, :, ax] - o_lo[:, None, ax]
@@ -258,7 +298,7 @@ def chunk_overlap_mask(
 def _mt_kernel(
     counts_ref,  # SMEM [T] int32 (scalar prefetch): chunks per tile
     ids_ref,  # SMEM (G, 1, Nc) int32: compacted chunk ids
-    rays_ref,  # VMEM (G, 8, R) f32: ox,oy,oz,dx,dy,dz,excl,pad
+    rays_ref,  # VMEM (8, G, R) f32 component-major: ox,oy,oz,dx,dy,dz,excl,pad
     tri_ref,  # VMEM (Nc, 8, LANES) f32: full chunk table
     out_t_ref,  # VMEM (G, 1, R) f32
     out_id_ref,  # VMEM (G, 1, R) int32
@@ -266,6 +306,7 @@ def _mt_kernel(
     t_min: float,
     t_max: float,
     eps: float,
+    pid_base: float = 0.0,
 ):
     miss = jnp.float32(t_max + 1.0)
     tile0 = pl.program_id(0) * TILE_GROUP
@@ -275,13 +316,13 @@ def _mt_kernel(
     sub = jax.lax.broadcasted_iota(jnp.int32, (tc, r), 0).astype(jnp.float32)
 
     def subtile_body(g, _):
-        ox = rays_ref[g, 0:1, :]  # (1, 128)
-        oy = rays_ref[g, 1:2, :]
-        oz = rays_ref[g, 2:3, :]
-        dx = rays_ref[g, 3:4, :]
-        dy = rays_ref[g, 4:5, :]
-        dz = rays_ref[g, 5:6, :]
-        excl = rays_ref[g, 6:7, :]  # prim id as f32 (exact < 2^24)
+        ox = rays_ref[0:1, g, :]  # (1, 128)
+        oy = rays_ref[1:2, g, :]
+        oz = rays_ref[2:3, g, :]
+        dx = rays_ref[3:4, g, :]
+        dy = rays_ref[4:5, g, :]
+        dz = rays_ref[5:6, g, :]
+        excl = rays_ref[6:7, g, :]  # GLOBAL prim id as f32 (exact < 2^24)
 
         def chunk_body(k, carry):
             bt, bid = carry
@@ -333,8 +374,15 @@ def _mt_kernel(
             # Strict window (the naive replace semantics, basic.rs:95-101).
             ok = ok & (w > t_min) & (w < t_max)
 
-            # prim ids: reordered space, +1 for the null sentinel.
-            pid = sub + jnp.float32(1.0) + (c.astype(jnp.float32) * tc)
+            # prim ids: reordered space, +1 for the null sentinel;
+            # pid_base shifts segment-local chunk ids into the global id
+            # space (segmented tables) so exclusion and outputs are
+            # global with no post-hoc remap.
+            pid = (
+                sub
+                + jnp.float32(1.0 + pid_base)
+                + (c.astype(jnp.float32) * tc)
+            )
             ok = ok & (pid != excl)
 
             w = jnp.where(ok, w, miss)
@@ -392,13 +440,6 @@ def packet_closest_hit(
     culling (MEASURED slower at every resolution — the [T, Nc] argsort
     prelude dominates; see PERF.md)."""
     n = o.shape[0]
-    nc = chunks.num_chunks
-    if nc % cull_block:
-        raise ValueError(
-            f"chunk count {nc} not divisible by cull_block {cull_block} "
-            f"(builders pad to CHUNK_ALIGN={CHUNK_ALIGN})"
-        )
-    nb = nc // cull_block
     t_tiles = max(1, -(-n // ray_tile))
     t_groups = -(-t_tiles // TILE_GROUP)
     t_tiles = t_groups * TILE_GROUP
@@ -411,7 +452,6 @@ def packet_closest_hit(
     d_p = pad_rays(d).reshape(t_tiles, ray_tile, 3)
     excl_p = jnp.pad(excl, (0, n_pad - n)).reshape(t_tiles, ray_tile)
 
-    inv_d = 1.0 / d_p
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     valid = jnp.pad(valid, (0, n_pad - n)).reshape(t_tiles, ray_tile)
@@ -421,6 +461,62 @@ def packet_closest_hit(
         if t_cap is None
         else jnp.pad(t_cap, (0, n_pad - n)).reshape(t_tiles, ray_tile)
     )
+    # Component-major payload [8, T, r]: ox,oy,oz,dx,dy,dz,excl,pad.
+    payload = jnp.concatenate(
+        [
+            o_p.transpose(2, 0, 1),  # [3, T, r]
+            d_p.transpose(2, 0, 1),
+            excl_p[None].astype(jnp.float32),
+            jnp.zeros((1, t_tiles, ray_tile), dtype=jnp.float32),
+        ],
+        axis=0,
+    )
+    out_t, out_id = packet_closest_hit_tiled(
+        chunks, payload, valid, cap_p,
+        t_min=t_min, t_max=t_max, eps=eps,
+        cull_block=cull_block, interpret=interpret,
+    )
+    return out_t.reshape(n_pad)[:n], out_id.reshape(n_pad)[:n]
+
+
+def packet_closest_hit_tiled(
+    chunks: TriChunks,
+    payload: jax.Array,  # [8, T, r] f32 component-major ray tiles
+    valid: jax.Array,  # [T, r] bool
+    t_cap: jax.Array | None = None,  # [T, r]
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+    cull_block: int = CULL_BLOCK,
+    interpret: bool = False,
+    pid_base: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Closest hit over pre-tiled component-major rays -> (t [T, r],
+    pid [T, r]).
+
+    This is the zero-relayout entry for the tiled frame path
+    (:func:`rt_rs_tpu.ops.shade.trace_tiled`): the payload IS the
+    kernel's native ray layout, so no pad/reshape/transpose runs per
+    call.  ``T`` must be a multiple of ``TILE_GROUP``.  ``pid_base``
+    statically shifts chunk-local prim ids into a global id space
+    (segmented tables): exclusion tests and returned ids are then
+    global, with misses still 0."""
+    nc = chunks.num_chunks
+    if nc % cull_block:
+        raise ValueError(
+            f"chunk count {nc} not divisible by cull_block {cull_block} "
+            f"(builders pad to CHUNK_ALIGN={CHUNK_ALIGN})"
+        )
+    nb = nc // cull_block
+    t_tiles, ray_tile = valid.shape
+    if t_tiles % TILE_GROUP:
+        raise ValueError(
+            f"tile count {t_tiles} not a multiple of {TILE_GROUP}"
+        )
+    t_groups = t_tiles // TILE_GROUP
+
+    inv3 = 1.0 / payload[3:6]
     if cull_block > 1:
         blk_min = jnp.min(
             chunks.bmin.reshape(nb, cull_block, 3), axis=1
@@ -430,9 +526,9 @@ def packet_closest_hit(
         )
     else:
         blk_min, blk_max = chunks.bmin, chunks.bmax
-    overlap = chunk_overlap_mask(
-        o_p, inv_d, valid, blk_min, blk_max,
-        t_min=t_min, t_max=t_max, t_cap=cap_p,
+    overlap = chunk_overlap_mask_cm(
+        payload[0:3], inv3, valid, blk_min, blk_max,
+        t_min=t_min, t_max=t_max, t_cap=t_cap,
     )  # [T, Nb]
 
     # Compact block ids per tile (stable argsort puts overlapping
@@ -446,22 +542,14 @@ def packet_closest_hit(
             + jnp.arange(cull_block, dtype=jnp.int32)[None, None, :]
         ).reshape(t_tiles, nc)
 
-    # Ray payload: 8 sublanes = ox,oy,oz,dx,dy,dz,excl,pad.
-    rays = jnp.concatenate(
-        [
-            o_p.transpose(0, 2, 1),  # [T, 3, 128]
-            d_p.transpose(0, 2, 1),
-            excl_p[:, None, :].astype(jnp.float32),
-            jnp.zeros((t_tiles, 1, ray_tile), dtype=jnp.float32),
-        ],
-        axis=1,
-    )  # [T, 8, 128]
-
     nc_pad = -(-nc // 128) * 128  # SMEM row padding
     ids = jnp.pad(order, ((0, 0), (0, nc_pad - nc)))
     tri = chunks.comp
 
-    kernel = partial(_mt_kernel, t_min=t_min, t_max=t_max, eps=eps)
+    kernel = partial(
+        _mt_kernel, t_min=t_min, t_max=t_max, eps=eps,
+        pid_base=float(pid_base),
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_groups,),
@@ -471,7 +559,7 @@ def packet_closest_hit(
                 lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((TILE_GROUP, 8, ray_tile), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((8, TILE_GROUP, ray_tile), lambda t, *_: (0, t, 0)),
             pl.BlockSpec(
                 (nc, chunks.comp.shape[1], LANES), lambda t, *_: (0, 0, 0)
             ),
@@ -489,9 +577,12 @@ def packet_closest_hit(
             jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, ids[:, None, :], rays, tri)
+    )(counts, ids[:, None, :], payload, tri)
 
-    return out_t.reshape(n_pad)[:n], out_id.reshape(n_pad)[:n]
+    return (
+        out_t.reshape(t_tiles, ray_tile),
+        out_id.reshape(t_tiles, ray_tile),
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -584,6 +675,41 @@ def packet_closest_hit_segmented(
             cull_block=cull_block, ray_tile=ray_tile, interpret=interpret,
         )
         id_s = jnp.where(id_s > 0, id_s + jnp.int32(base), 0)
+        if best_t is None:
+            best_t, best_id = t_s, id_s
+        else:
+            better = t_s < best_t
+            best_t = jnp.where(better, t_s, best_t)
+            best_id = jnp.where(better, id_s, best_id)
+    return best_t, best_id
+
+
+def packet_closest_hit_segmented_tiled(
+    seg: SegmentedTriChunks,
+    payload: jax.Array,  # [8, T, r] component-major; excl row is GLOBAL
+    valid: jax.Array,  # [T, r]
+    t_cap: jax.Array | None = None,
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+    cull_block: int = CULL_BLOCK,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Tiled closest hit over a segmented (beyond-VMEM) table.
+
+    ``pid_base`` makes each segment's kernel test exclusion against and
+    emit GLOBAL prim ids directly, so the merge is a plain min-t select
+    (earlier segment wins ties — prim ids grow with segment index,
+    preserving the naive first-strictly-smaller semantics)."""
+    best_t = None
+    best_id = None
+    for base, chunk_seg in zip(seg.prim_base, seg.segments):
+        t_s, id_s = packet_closest_hit_tiled(
+            chunk_seg, payload, valid, t_cap,
+            t_min=t_min, t_max=t_max, eps=eps,
+            cull_block=cull_block, interpret=interpret, pid_base=base,
+        )
         if best_t is None:
             best_t, best_id = t_s, id_s
         else:

@@ -444,3 +444,234 @@ def trace(
         color = color + jnp.where(active[:, None], contrib, 0.0)
 
     return color
+
+
+# ----------------------------------------------------------------------
+# Tiled frame path: component-major ray tiles + fused Pallas shading.
+#
+# The XLA bounce loop above is the semantic reference (oracle-verified),
+# but at 1080p it costs ~40 ms per bounce on TPU — [N,3]-shaped
+# elementwise passes, fusion barriers around each intersect custom
+# call, and full-size work on bounces that are almost entirely dead
+# (frame profiling in PERF.md).  The tiled twin below keeps rays in the
+# packet kernel's native layout end to end ([8, T, r]: components on
+# sublanes, rays on lanes) and runs each bounce's shading as two fused
+# Pallas kernels that skip dead tile subgroups
+# (rt_rs_tpu/ops/pallas/shade_tile.py).  Same math op-for-op; outputs
+# agree with trace() to ~1 ULP (tests/test_shade_tiled.py).
+
+# Tiled intersect: fn(payload [8,T,r], valid [T,r], t_cap=None [T,r])
+#   -> (t [T,r], pid [T,r]); payload row 6 carries the exclusion id.
+TiledIntersectFn = Callable[..., tuple[jax.Array, jax.Array]]
+
+
+def camera_ray_tiles(
+    camera_pos: jax.Array,  # [3]
+    camera_at: jax.Array,  # [3]
+    width: int,
+    height: int,
+    ray_tile: int,
+    y_offset: jax.Array | int = 0,
+    rows: int | None = None,
+    block: tuple[int, int] | None = None,
+) -> tuple[jax.Array, jax.Array, int]:
+    """Primary rays as component-major tiles.
+
+    -> (payload [8, T, r], valid [T, r], n_pixels) where ``T`` is padded
+    to a multiple of the kernels' TILE_GROUP and ``n_pixels`` is the
+    block-padded pixel count (= what :func:`unblock_colors` consumes).
+    Per-ray values are bit-identical to :func:`camera_rays`; only the
+    memory layout differs (no [N, 3] arrays are materialized).
+    """
+    from rt_rs_tpu.ops.pallas.shade_tile import TILE_GROUP
+
+    if rows is None:
+        rows = height
+    dir_ = _normalize((camera_at - camera_pos)[None, :])[0]
+    up = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
+    right = jnp.cross(dir_, up)
+
+    xs = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
+    ys = (
+        (jnp.arange(rows, dtype=jnp.float32) + y_offset) / height
+    ) - 0.5
+    if block is None:
+        norm_x = jnp.tile(xs, rows)
+        norm_y = jnp.repeat(ys, width)
+        n_pixels = rows * width
+    else:
+        rp, wp = padded_block_dims(width, rows, block)
+        xi = jnp.minimum(jnp.arange(wp), width - 1)
+        yi = jnp.minimum(jnp.arange(rp), rows - 1)
+        norm_x = _blockify(
+            jnp.broadcast_to(xs[xi][None, :], (rp, wp)), block
+        )
+        norm_y = _blockify(
+            jnp.broadcast_to(ys[yi][:, None], (rp, wp)), block
+        )
+        n_pixels = rp * wp
+
+    t_tiles = -(-n_pixels // ray_tile)
+    t_tiles = -(-t_tiles // TILE_GROUP) * TILE_GROUP
+    n_pad = t_tiles * ray_tile
+    norm_x = jnp.pad(norm_x, (0, n_pad - n_pixels))
+    norm_y = jnp.pad(norm_y, (0, n_pad - n_pixels))
+
+    # Same per-component arithmetic as camera_rays (pt - pos, then
+    # v * rsqrt(sum v^2)), on [N]-shaped arrays (full lanes).
+    px = right[0] * norm_x + up[0] * norm_y + camera_pos[0] + dir_[0]
+    py = right[1] * norm_x + up[1] * norm_y + camera_pos[1] + dir_[1]
+    pz = right[2] * norm_x + up[2] * norm_y + camera_pos[2] + dir_[2]
+    vx = px - camera_pos[0]
+    vy = py - camera_pos[1]
+    vz = pz - camera_pos[2]
+    rinv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+    shape = (1, t_tiles, ray_tile)
+    payload = jnp.concatenate(
+        [
+            jnp.broadcast_to(camera_pos[0], shape),
+            jnp.broadcast_to(camera_pos[1], shape),
+            jnp.broadcast_to(camera_pos[2], shape),
+            (vx * rinv).reshape(shape),
+            (vy * rinv).reshape(shape),
+            (vz * rinv).reshape(shape),
+            jnp.zeros(shape, dtype=jnp.float32),  # excl
+            jnp.zeros(shape, dtype=jnp.float32),
+        ],
+        axis=0,
+    )
+    valid = (
+        jnp.arange(n_pad, dtype=jnp.int32) < n_pixels
+    ).reshape(t_tiles, ray_tile)
+    return payload, valid, n_pixels
+
+
+def trace_tiled(
+    scene: SceneArrays,
+    intersect_fn: TiledIntersectFn,
+    cfg: ComputeConfig,
+    payload: jax.Array,  # [8, T, r] primary rays
+    valid: jax.Array,  # [T, r]
+    camera_pos: jax.Array,  # [3] (headlight position)
+    interpret: bool = False,
+) -> jax.Array:
+    """The bounce loop over component-major ray tiles -> color [3, T, r].
+
+    Semantics identical to :func:`trace` (same fused secondary batches,
+    same light order: headlight first); requires
+    ``scene.no_negative_materials`` (shadow validity via ``pid != 0``).
+    """
+    from rt_rs_tpu.ops.pallas.shade_tile import (
+        SUBGROUP,
+        shade_post,
+        shade_pre,
+    )
+
+    assert scene.no_negative_materials
+    t_tiles, r = valid.shape
+    num_lights = scene.num_lights
+    use_headlight = cfg.camera_light_source > 0.0
+    light_rows = []
+    if use_headlight:
+        light_rows.append(
+            jnp.concatenate(
+                [
+                    camera_pos.astype(jnp.float32),
+                    jnp.full((1,), cfg.camera_light_source, jnp.float32),
+                ]
+            )
+        )
+    for j in range(num_lights):
+        light_rows.append(
+            jnp.concatenate(
+                [
+                    scene.light_pos[j].astype(jnp.float32),
+                    scene.light_strength[j].reshape(1).astype(jnp.float32),
+                ]
+            )
+        )
+    k = len(light_rows)
+    color = jnp.zeros((3, t_tiles, r), dtype=jnp.float32)
+    if k == 0:
+        # No light sources at all: every bounce contributes zero
+        # (ambience is dead config, exactly like the reference shader).
+        return color
+    lights = jnp.stack(light_rows)  # [k, 4]
+
+    active = valid
+    t, pid = intersect_fn(payload, valid)
+    table = scene.shade_table
+
+    for bounce in range(cfg.bounces):
+        pid = jnp.where(active, pid, 0)
+        # ONE row gather; the transpose into component-major fuses into
+        # the gather for free (measured, PERF.md).
+        rows = table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
+        valid_b = (rows[25] != -1.0) & (t < cfg.t_max) & (t > cfg.t_min)
+        active = active & valid_b
+        live_sg = (
+            active.reshape(t_tiles // SUBGROUP, SUBGROUP * r)
+            .any(axis=1)
+            .astype(jnp.int32)
+        )
+
+        last = bounce + 1 >= cfg.bounces
+        sh_pays, caps, nxt = shade_pre(
+            rows, payload, t, pid.astype(jnp.float32), live_sg, lights,
+            emit_next=not last, interpret=interpret,
+        )
+
+        pay_cat = jnp.concatenate(
+            list(sh_pays) + ([nxt] if not last else []), axis=1
+        )
+        valid_cat = jnp.concatenate([active] * (k + (0 if last else 1)))
+        caps_cat = jnp.concatenate(
+            list(caps)
+            + ([jnp.full((t_tiles, r), cfg.t_max, jnp.float32)] if not last else [])
+        )
+        st, sid = intersect_fn(pay_cat, valid_cat, t_cap=caps_cat)
+        sh_t = st[: k * t_tiles].reshape(k, t_tiles, r)
+        sh_id = sid[: k * t_tiles].reshape(k, t_tiles, r)
+
+        contrib = shade_post(
+            rows, payload, t, active.astype(jnp.float32),
+            sh_t, sh_id.astype(jnp.float32), live_sg, lights,
+            first_bounce=bounce == 0,
+            t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
+        )
+        color = color + contrib
+
+        if not last:
+            t = st[k * t_tiles :]
+            pid = sid[k * t_tiles :]
+            payload = nxt
+
+    return color
+
+
+def render_tiled(
+    scene: SceneArrays,
+    intersect_fn: TiledIntersectFn,
+    cfg: ComputeConfig,
+    camera_pos: jax.Array,
+    camera_at: jax.Array,
+    width: int,
+    height: int,
+    ray_tile: int,
+    block: tuple[int, int] | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full frame via the tiled path -> color [H, W, 3] float32.
+
+    Output matches :func:`render` to ~1 ULP (Mosaic FMA contraction)."""
+    payload, valid, n_pixels = camera_ray_tiles(
+        camera_pos, camera_at, width, height, ray_tile, block=block
+    )
+    color = trace_tiled(
+        scene, intersect_fn, cfg, payload, valid, camera_pos,
+        interpret=interpret,
+    )
+    flat = color.reshape(3, -1)[:, :n_pixels].T  # [n_pixels, 3]
+    if block is not None:
+        return unblock_colors(flat, width, height, block)
+    return flat.reshape(height, width, 3)

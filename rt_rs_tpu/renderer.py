@@ -58,6 +58,25 @@ def _render_jit(
     height: int,
     block: tuple[int, int] | None,
 ) -> jax.Array:
+    if arrays.no_negative_materials:
+        # Tiled frame path: rays stay in the packet kernel's
+        # component-major layout end to end; per-bounce shading runs as
+        # fused Pallas kernels that skip dead tile subgroups (the XLA
+        # bounce loop was the 1080p bottleneck — PERF.md round 2b).
+        return shade.render_tiled(
+            arrays,
+            handler.intersect_tiled_fn(accel, arrays, cfg),
+            cfg,
+            camera_pos,
+            camera_at,
+            width,
+            height,
+            ray_tile=getattr(handler, "block_lanes", 128),
+            block=block,
+            interpret=jax.default_backend() != "tpu",
+        )
+    # Scenes with real negative-material prims need the gather-based
+    # shadow validity check — the XLA reference path.
     intersect = handler.intersect_fn(accel, arrays, cfg)
     return shade.render(
         arrays, intersect, cfg, camera_pos, camera_at, width, height,
@@ -225,7 +244,9 @@ class DynamicRenderer:
 
         from rt_rs_tpu.handlers.lbvh import build_accel_device, device_chunks
         from rt_rs_tpu.handlers.pbvh import DEFAULT_RAY_TILE
-        from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
 
         self.scene = scene
         self.config = config or Config()
@@ -278,17 +299,18 @@ class DynamicRenderer:
             else:
                 accel, arrays = build_accel_device(arrays)
             intersect = partial(
-                packet_closest_hit,
+                packet_closest_hit_tiled,
                 accel,
                 t_min=cfg.t_min,
                 t_max=cfg.t_max,
                 eps=cfg.eps,
-                ray_tile=DEFAULT_RAY_TILE,
                 interpret=interpret,
             )
-            return shade.render(
+            return shade.render_tiled(
                 arrays, intersect, cfg, camera_pos, camera_at, width, height,
+                ray_tile=DEFAULT_RAY_TILE,
                 block=self.config.resolution.block(DEFAULT_RAY_TILE),
+                interpret=interpret,
             )
 
         self._step = jax.jit(step)

@@ -1,0 +1,118 @@
+"""Tiled frame path (component-major ray tiles + fused Pallas shading)
+vs the XLA reference bounce loop — same math, ~1 ULP drift allowed."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rt_rs_tpu.config import ComputeConfig, Config, Resolution
+from rt_rs_tpu.handlers import get_handler
+from rt_rs_tpu.ops import shade
+from rt_rs_tpu.renderer import Renderer
+from rt_rs_tpu.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def teatime(scenes_dir):
+    return Scene.load(str(scenes_dir / "teatime.json"))
+
+
+def _both_renders(scene, handler_name, cfg, W, H, block, ray_tile=128):
+    arrays = scene.pack()
+    h = get_handler(handler_name)
+    accel, arr2 = h.build(scene, arrays)
+    pos = jnp.asarray(scene.camera.pos, jnp.float32)
+    at = jnp.asarray(scene.camera.at, jnp.float32)
+    old = shade.render(
+        arr2, h.intersect_fn(accel, arr2, cfg), cfg, pos, at, W, H,
+        block=block,
+    )
+    new = shade.render_tiled(
+        arr2, h.intersect_tiled_fn(accel, arr2, cfg), cfg, pos, at, W, H,
+        ray_tile=ray_tile, block=block, interpret=True,
+    )
+    return np.asarray(old), np.asarray(new)
+
+
+def test_tiled_matches_reference_default(scenes_dir):
+    scene = Scene.load(str(scenes_dir / "default.json"))
+    old, new = _both_renders(scene, "naive", ComputeConfig(), 32, 24, (8, 16))
+    np.testing.assert_allclose(new, old, atol=2e-6)
+
+
+def test_tiled_matches_reference_teatime_full_fidelity(teatime):
+    # 4 bounces, 2 shadow-rayed lights, real geometry, packet backend.
+    old, new = _both_renders(
+        teatime, "pbvh", ComputeConfig(), 48, 32, (8, 16)
+    )
+    np.testing.assert_allclose(new, old, atol=2e-5)
+
+
+def test_tiled_headlight(teatime):
+    cfg = dataclasses.replace(ComputeConfig(), camera_light_source=1.5)
+    old, new = _both_renders(teatime, "naive", cfg, 32, 16, (8, 16))
+    np.testing.assert_allclose(new, old, atol=2e-5)
+
+
+def test_tiled_no_block_raster_order(scenes_dir):
+    scene = Scene.load(str(scenes_dir / "default.json"))
+    old, new = _both_renders(scene, "naive", ComputeConfig(), 40, 24, None)
+    np.testing.assert_allclose(new, old, atol=2e-6)
+
+
+def test_tiled_odd_size_padding(scenes_dir):
+    # Sizes that don't divide the block or tile: padding + crop parity.
+    scene = Scene.load(str(scenes_dir / "default.json"))
+    old, new = _both_renders(scene, "naive", ComputeConfig(), 37, 23, (8, 16))
+    np.testing.assert_allclose(new, old, atol=2e-6)
+
+
+def test_tiled_segmented_matches_resident(teatime):
+    """Tiled segmented traversal (pid_base global ids) == resident."""
+    from rt_rs_tpu.ops.pallas.packet_trace import (
+        build_tri_chunks,
+        packet_closest_hit_segmented_tiled,
+        packet_closest_hit_tiled,
+        split_chunks,
+    )
+
+    cfg = ComputeConfig()
+    arrays = teatime.pack()
+    h = get_handler("pbvh")
+    accel, arr2 = h.build(teatime, arrays)
+    chunks = build_tri_chunks(arr2.pa, arr2.pb, arr2.pc, tri_chunk=8)
+    seg = split_chunks(chunks, max_seg_tris=2048)
+    assert len(seg.segments) > 1
+
+    payload, valid, _ = shade.camera_ray_tiles(
+        jnp.asarray(teatime.camera.pos, jnp.float32),
+        jnp.asarray(teatime.camera.at, jnp.float32),
+        64, 32, ray_tile=128, block=(8, 16),
+    )
+    kw = dict(t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps, interpret=True)
+    t0, i0 = packet_closest_hit_tiled(chunks, payload, valid, **kw)
+    t1, i1 = packet_closest_hit_segmented_tiled(seg, payload, valid, **kw)
+    v = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(t1)[v], np.asarray(t0)[v], rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i1)[v], np.asarray(i0)[v])
+
+
+def test_renderer_uses_tiled_path(scenes_dir):
+    """End-to-end Renderer equality across a handler with a native tiled
+    entry and one using the AoS adapter."""
+    scene = Scene.load(str(scenes_dir / "default.json"))
+    cfg = Config(resolution=Resolution.sized(48, 32))
+    f_naive = np.asarray(
+        Renderer(scene, config=cfg, handler="naive").render_frame()
+    )
+    f_pbvh = np.asarray(
+        Renderer(
+            scene, config=cfg, handler="pbvh",
+            handler_kwargs={"interpret": True},
+        ).render_frame()
+    )
+    np.testing.assert_allclose(f_pbvh, f_naive, atol=1e-5)
