@@ -91,3 +91,13 @@ class IntrsHandler(abc.ABC):
             return t.reshape(t_tiles, r), pid.reshape(t_tiles, r)
 
         return tiled
+
+    def intersect_tiled_rows_fn(
+        self, accel: Any, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        """Closest-hit that ALSO emits the winning prims' shade-table
+        rows: ``(payload, valid, t_cap=None) -> (t, pid,
+        rows [32, T, r])`` — lets :func:`trace_tiled` skip its XLA row
+        gathers entirely.  ``None`` (default) = unsupported; the trace
+        falls back to gathering."""
+        return None

@@ -188,6 +188,7 @@ class BvhIntrs(IntrsHandler):
             chunks = build_tri_chunks(
                 arrays.pa, arrays.pb, arrays.pc,
                 tri_chunk=TUNED_TRI_CHUNK,
+                shade_rows=np.asarray(arrays.shade_table),
             )
         return BvhAccel(nodes=nodes, chunks=chunks), arrays
 
@@ -238,6 +239,25 @@ class BvhIntrs(IntrsHandler):
                 interpret=jax.default_backend() != "tpu",
             )
         return super().intersect_tiled_fn(accel, arrays, cfg)
+
+    def intersect_tiled_rows_fn(
+        self, accel: BvhAccel, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        if accel.chunks is None or accel.chunks.attr_t is None:
+            return None
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
+
+        return partial(
+            packet_closest_hit_tiled,
+            accel.chunks,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=jax.default_backend() != "tpu",
+            emit_rows=True,
+        )
 
 
 def _node_slab(o, inv_d, bmin, bmax):

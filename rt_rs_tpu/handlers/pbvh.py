@@ -111,6 +111,12 @@ class PacketBvhIntrs(IntrsHandler):
         chunks = build_tri_chunks(
             arrays.pa, arrays.pb, arrays.pc,
             max_chunks=None, tri_chunk=tri_chunk,
+            # Resident tables carry the shade-attribute table so the
+            # kernel can emit hit rows (skipping the XLA row gathers);
+            # beyond-VMEM tables skip it (they stay on the gather path).
+            shade_rows=(
+                None if self._streaming else np.asarray(arrays.shade_table)
+            ),
         )
         if self._streaming and self.streaming_mode == "segmented":
             # Pre-slice on concrete arrays so the per-frame graph
@@ -222,5 +228,27 @@ class PacketBvhIntrs(IntrsHandler):
             t_max=cfg.t_max,
             eps=cfg.eps,
             interpret=self.interpret,
+            **kwargs,
+        )
+
+    def intersect_tiled_rows_fn(self, accel, arrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            TriChunks,
+            packet_closest_hit_tiled,
+        )
+
+        if not (isinstance(accel, TriChunks) and accel.attr_t is not None):
+            return None
+        kwargs = {}
+        if self.cull_block is not None:
+            kwargs["cull_block"] = self.cull_block
+        return partial(
+            packet_closest_hit_tiled,
+            accel,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=self.interpret,
+            emit_rows=True,
             **kwargs,
         )

@@ -145,6 +145,7 @@ class RfBvhIntrs(IntrsHandler):
             chunks = build_tri_chunks(
                 arrays.pa, arrays.pb, arrays.pc,
                 tri_chunk=TUNED_TRI_CHUNK,
+                shade_rows=np.asarray(arrays.shade_table),
             )
 
         hit_link, miss_link = data.escape_links()
@@ -212,6 +213,25 @@ class RfBvhIntrs(IntrsHandler):
                 interpret=jax.default_backend() != "tpu",
             )
         return super().intersect_tiled_fn(accel, arrays, cfg)
+
+    def intersect_tiled_rows_fn(
+        self, accel: RfAccel, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        if accel.chunks is None or accel.chunks.attr_t is None:
+            return None
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
+
+        return partial(
+            packet_closest_hit_tiled,
+            accel.chunks,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=jax.default_backend() != "tpu",
+            emit_rows=True,
+        )
 
 
 def _rf_intersect(

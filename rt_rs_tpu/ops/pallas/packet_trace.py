@@ -98,6 +98,11 @@ class TriChunks:
     bmin: jax.Array  # [Nc, 3] float32
     bmax: jax.Array  # [Nc, 3] float32
     num_chunks: int = dataclasses.field(metadata=dict(static=True))
+    # Optional shade-attribute table for in-kernel hit-row emission:
+    # [Nc, 32, LANES] f32, attr_t[c, j, s] = shade_table[1 + c*tc + s, j]
+    # (transposed so the second pass's match-matmul lands rows in the
+    # component-major (32, r) layout directly; see _mt_kernel).
+    attr_t: jax.Array | None = None
 
 
 def build_tri_chunks(
@@ -106,6 +111,7 @@ def build_tri_chunks(
     pc: np.ndarray,
     max_chunks: int | None = MAX_VMEM_CHUNKS,
     tri_chunk: int = TRI_CHUNK,
+    shade_rows: np.ndarray | None = None,  # [P+1, 32] shade table
 ) -> TriChunks:
     """Pack reordered prim corners (rows 1.. of the scene arrays; row 0
     is the null sentinel and is excluded) into chunks.
@@ -162,11 +168,22 @@ def build_tri_chunks(
     bmin = tri_min.reshape(nc, tri_chunk, 3).min(axis=1)
     bmax = tri_max.reshape(nc, tri_chunk, 3).max(axis=1)
 
+    attr_t = None
+    if shade_rows is not None:
+        rows = np.asarray(shade_rows, dtype=np.float32)[1:]  # drop sentinel
+        rows = np.pad(rows, ((0, nc * tri_chunk - p), (0, 0)))
+        # [Nc, tc, 32] -> [Nc, 32, tc] -> lane-pad to LANES.
+        at = rows.reshape(nc, tri_chunk, 32).transpose(0, 2, 1)
+        attr_t = np.zeros((nc, 32, LANES), dtype=np.float32)
+        attr_t[:, :, :tri_chunk] = at
+        attr_t = jnp.asarray(attr_t)
+
     return TriChunks(
         comp=jnp.asarray(comp),
         bmin=jnp.asarray(bmin),
         bmax=jnp.asarray(bmax),
         num_chunks=nc,
+        attr_t=attr_t,
     )
 
 
@@ -296,18 +313,22 @@ def _overlap_from_bounds(
 
 
 def _mt_kernel(
+    group_live_ref,  # SMEM [T // TILE_GROUP] int32: any VALID ray in group
     counts_ref,  # SMEM [T] int32 (scalar prefetch): chunks per tile
     ids_ref,  # SMEM (G, 1, Nc) int32: compacted chunk ids
     rays_ref,  # VMEM (8, G, R) f32 component-major: ox,oy,oz,dx,dy,dz,excl,pad
     tri_ref,  # VMEM (Nc, 8, LANES) f32: full chunk table
-    out_t_ref,  # VMEM (G, 1, R) f32
-    out_id_ref,  # VMEM (G, 1, R) int32
-    *,
+    *refs,  # [attr_ref (Nc, 32, LANES)], out_t (G,1,R), out_id (G,1,R), [rows (32,G,R)]
     t_min: float,
     t_max: float,
     eps: float,
     pid_base: float = 0.0,
+    emit_attrs: bool = False,
 ):
+    if emit_attrs:
+        attr_ref, out_t_ref, out_id_ref, rows_ref = refs
+    else:
+        out_t_ref, out_id_ref = refs
     miss = jnp.float32(t_max + 1.0)
     tile0 = pl.program_id(0) * TILE_GROUP
     r = rays_ref.shape[2]  # rays per tile (ray_tile)
@@ -402,12 +423,45 @@ def _mt_kernel(
         bid_sel = jnp.where(bt == best, bid, big_id)
         best_id = jnp.min(bid_sel, axis=0, keepdims=True)
         out_t_ref[g, :, :] = best
-        out_id_ref[g, :, :] = jnp.where(
-            best <= t_max, best_id, 0.0
-        ).astype(jnp.int32)
+        best_id = jnp.where(best <= t_max, best_id, 0.0)
+        out_id_ref[g, :, :] = best_id.astype(jnp.int32)
+
+        if emit_attrs:
+            # Second pass: emit the winning prim's shade-table row
+            # directly from VMEM — replaces the [N,32] XLA row gather.
+            # match is exactly 0/1, so attr_t @ match sums exactly one
+            # exact product per (component, ray): bit-exact f32 even
+            # through the MXU's bf16 decomposition at HIGHEST.
+            def attr_body(k, acc):
+                c = ids_ref[g, 0, k]
+                pid = (
+                    sub
+                    + jnp.float32(1.0 + pid_base)
+                    + (c.astype(jnp.float32) * tc)
+                )
+                match = (pid == best_id).astype(jnp.float32)  # (tc, r)
+                return acc + jax.lax.dot_general(
+                    attr_ref[c][:, :tc],  # (32, tc)
+                    match,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+
+            acc0 = jnp.zeros((32, r), dtype=jnp.float32)
+            rows_ref[:, g, :] = jax.lax.fori_loop(
+                0, counts_ref[tile0 + g], attr_body, acc0
+            )
         return 0
 
-    jax.lax.fori_loop(0, TILE_GROUP, subtile_body, 0)
+    # Whole-group skip: secondary bounces leave most 32-tile groups
+    # with no live ray at all; their outputs are unspecified by the
+    # contract (callers mask by validity), so skip even the per-subtile
+    # loop overhead.  Valid-but-empty tiles (count 0 in a live group)
+    # still write proper misses through the normal path.
+    @pl.when(group_live_ref[pl.program_id(0)] > 0)
+    def _():
+        jax.lax.fori_loop(0, TILE_GROUP, subtile_body, 0)
 
 
 def packet_closest_hit(
@@ -491,9 +545,11 @@ def packet_closest_hit_tiled(
     cull_block: int = CULL_BLOCK,
     interpret: bool = False,
     pid_base: int = 0,
-) -> tuple[jax.Array, jax.Array]:
+    emit_rows: bool = False,
+):
     """Closest hit over pre-tiled component-major rays -> (t [T, r],
-    pid [T, r]).
+    pid [T, r]) — plus the winning prims' shade-table rows
+    ([32, T, r]) when ``emit_rows`` is set.
 
     This is the zero-relayout entry for the tiled frame path
     (:func:`rt_rs_tpu.ops.shade.trace_tiled`): the payload IS the
@@ -501,7 +557,13 @@ def packet_closest_hit_tiled(
     call.  ``T`` must be a multiple of ``TILE_GROUP``.  ``pid_base``
     statically shifts chunk-local prim ids into a global id space
     (segmented tables): exclusion tests and returned ids are then
-    global, with misses still 0."""
+    global, with misses still 0.
+
+    ``emit_rows`` requires the chunk table to carry ``attr_t`` (built
+    with ``shade_rows``); the kernel's second pass replaces the XLA
+    [N, 32] row gather bit-exactly (match-matmul of 0/1 against the
+    attr table; miss rays get all-zero rows, whose every consumed field
+    is masked by validity downstream)."""
     nc = chunks.num_chunks
     if nc % cull_block:
         raise ValueError(
@@ -546,43 +608,68 @@ def packet_closest_hit_tiled(
     ids = jnp.pad(order, ((0, 0), (0, nc_pad - nc)))
     tri = chunks.comp
 
+    group_live = (
+        valid.reshape(t_groups, TILE_GROUP * ray_tile)
+        .any(axis=1)
+        .astype(jnp.int32)
+    )
+    if emit_rows and chunks.attr_t is None:
+        raise ValueError(
+            "emit_rows requires a chunk table built with shade_rows"
+        )
     kernel = partial(
         _mt_kernel, t_min=t_min, t_max=t_max, eps=eps,
-        pid_base=float(pid_base),
+        pid_base=float(pid_base), emit_attrs=emit_rows,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (TILE_GROUP, 1, nc_pad),
+            lambda t, *_: (t, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec((8, TILE_GROUP, ray_tile), lambda t, *_: (0, t, 0)),
+        pl.BlockSpec(
+            (nc, chunks.comp.shape[1], LANES), lambda t, *_: (0, 0, 0)
+        ),
+    ]
+    out_specs = [
+        pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+        pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
+    ]
+    operands = [group_live, counts, ids[:, None, :], payload, tri]
+    if emit_rows:
+        in_specs.append(
+            pl.BlockSpec((nc, 32, LANES), lambda t, *_: (0, 0, 0))
+        )
+        operands.append(chunks.attr_t)
+        out_specs.append(
+            pl.BlockSpec((32, TILE_GROUP, ray_tile), lambda t, *_: (0, t, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((32, t_tiles, ray_tile), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t_groups,),
-        in_specs=[
-            pl.BlockSpec(
-                (TILE_GROUP, 1, nc_pad),
-                lambda t, *_: (t, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((8, TILE_GROUP, ray_tile), lambda t, *_: (0, t, 0)),
-            pl.BlockSpec(
-                (nc, chunks.comp.shape[1], LANES), lambda t, *_: (0, 0, 0)
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    out_t, out_id = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(counts, ids[:, None, :], payload, tri)
+    )(*operands)
 
-    return (
-        out_t.reshape(t_tiles, ray_tile),
-        out_id.reshape(t_tiles, ray_tile),
-    )
+    out_t = outs[0].reshape(t_tiles, ray_tile)
+    out_id = outs[1].reshape(t_tiles, ray_tile)
+    if emit_rows:
+        return out_t, out_id, outs[2]
+    return out_t, out_id
 
 
 @jax.tree_util.register_dataclass

@@ -554,13 +554,20 @@ def trace_tiled(
     valid: jax.Array,  # [T, r]
     camera_pos: jax.Array,  # [3] (headlight position)
     interpret: bool = False,
+    intersect_rows_fn: TiledIntersectFn | None = None,
 ) -> jax.Array:
     """The bounce loop over component-major ray tiles -> color [3, T, r].
 
-    Semantics identical to :func:`trace` (same fused secondary batches,
-    same light order: headlight first); requires
-    ``scene.no_negative_materials`` (shadow validity via ``pid != 0``).
-    """
+    Semantics identical to :func:`trace` (same light order: headlight
+    first); requires ``scene.no_negative_materials`` (shadow validity
+    via ``pid != 0``).
+
+    ``intersect_rows_fn`` (when the backend provides one) emits the
+    winning prims' shade-table rows straight from the kernel, so the
+    bounce loop runs with ZERO XLA row gathers; closest-hit and shadow
+    batches are then traced as separate calls (shadow rays don't need
+    rows).  Without it, rows come from one [N, 32] gather per bounce
+    and the shadow + next-bounce batch is fused into one call."""
     from rt_rs_tpu.ops.pallas.shade_tile import (
         SUBGROUP,
         shade_post,
@@ -599,15 +606,28 @@ def trace_tiled(
     lights = jnp.stack(light_rows)  # [k, 4]
 
     active = valid
-    t, pid = intersect_fn(payload, valid)
     table = scene.shade_table
+    emit = intersect_rows_fn is not None
+    if emit:
+        t, pid, rows = intersect_rows_fn(payload, valid)
+    else:
+        t, pid = intersect_fn(payload, valid)
 
     for bounce in range(cfg.bounces):
         pid = jnp.where(active, pid, 0)
-        # ONE row gather; the transpose into component-major fuses into
-        # the gather for free (measured, PERF.md).
-        rows = table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
-        valid_b = (rows[25] != -1.0) & (t < cfg.t_max) & (t > cfg.t_min)
+        if emit:
+            # rows came from the kernel's attribute pass.  For rays
+            # dead since an earlier bounce they hold the actual hit's
+            # row (not row 0) — every consumer masks by `active`, so
+            # the difference is unobservable.
+            valid_b = (pid != 0) & (t < cfg.t_max) & (t > cfg.t_min)
+        else:
+            # ONE row gather; the transpose into component-major fuses
+            # into the gather for free (measured, PERF.md).
+            rows = table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
+            valid_b = (
+                (rows[25] != -1.0) & (t < cfg.t_max) & (t > cfg.t_min)
+            )
         active = active & valid_b
         live_sg = (
             active.reshape(t_tiles // SUBGROUP, SUBGROUP * r)
@@ -621,17 +641,35 @@ def trace_tiled(
             emit_next=not last, interpret=interpret,
         )
 
-        pay_cat = jnp.concatenate(
-            list(sh_pays) + ([nxt] if not last else []), axis=1
-        )
-        valid_cat = jnp.concatenate([active] * (k + (0 if last else 1)))
-        caps_cat = jnp.concatenate(
-            list(caps)
-            + ([jnp.full((t_tiles, r), cfg.t_max, jnp.float32)] if not last else [])
-        )
-        st, sid = intersect_fn(pay_cat, valid_cat, t_cap=caps_cat)
-        sh_t = st[: k * t_tiles].reshape(k, t_tiles, r)
-        sh_id = sid[: k * t_tiles].reshape(k, t_tiles, r)
+        if emit:
+            # Shadow rays need no rows: lean call.  The next bounce's
+            # closest hit is its own row-emitting call.
+            sh_pay = jnp.concatenate(list(sh_pays), axis=1)
+            sh_valid = jnp.concatenate([active] * k)
+            sh_caps = jnp.concatenate(list(caps))
+            st, sid = intersect_fn(sh_pay, sh_valid, t_cap=sh_caps)
+            sh_t = st.reshape(k, t_tiles, r)
+            sh_id = sid.reshape(k, t_tiles, r)
+            if not last:
+                t2, pid2, rows2 = intersect_rows_fn(nxt, active)
+        else:
+            pay_cat = jnp.concatenate(
+                list(sh_pays) + ([nxt] if not last else []), axis=1
+            )
+            valid_cat = jnp.concatenate(
+                [active] * (k + (0 if last else 1))
+            )
+            caps_cat = jnp.concatenate(
+                list(caps)
+                + (
+                    [jnp.full((t_tiles, r), cfg.t_max, jnp.float32)]
+                    if not last
+                    else []
+                )
+            )
+            st, sid = intersect_fn(pay_cat, valid_cat, t_cap=caps_cat)
+            sh_t = st[: k * t_tiles].reshape(k, t_tiles, r)
+            sh_id = sid[: k * t_tiles].reshape(k, t_tiles, r)
 
         contrib = shade_post(
             rows, payload, t, active.astype(jnp.float32),
@@ -642,8 +680,11 @@ def trace_tiled(
         color = color + contrib
 
         if not last:
-            t = st[k * t_tiles :]
-            pid = sid[k * t_tiles :]
+            if emit:
+                t, pid, rows = t2, pid2, rows2
+            else:
+                t = st[k * t_tiles :]
+                pid = sid[k * t_tiles :]
             payload = nxt
 
     return color
@@ -660,6 +701,7 @@ def render_tiled(
     ray_tile: int,
     block: tuple[int, int] | None = None,
     interpret: bool = False,
+    intersect_rows_fn: TiledIntersectFn | None = None,
 ) -> jax.Array:
     """Full frame via the tiled path -> color [H, W, 3] float32.
 
@@ -669,7 +711,7 @@ def render_tiled(
     )
     color = trace_tiled(
         scene, intersect_fn, cfg, payload, valid, camera_pos,
-        interpret=interpret,
+        interpret=interpret, intersect_rows_fn=intersect_rows_fn,
     )
     flat = color.reshape(3, -1)[:, :n_pixels].T  # [n_pixels, 3]
     if block is not None:

@@ -63,6 +63,14 @@ def _render_jit(
         # component-major layout end to end; per-bounce shading runs as
         # fused Pallas kernels that skip dead tile subgroups (the XLA
         # bounce loop was the 1080p bottleneck — PERF.md round 2b).
+        #
+        # Kernel-emitted hit rows (skipping the XLA row gathers, at the
+        # cost of splitting shadow and closest-hit calls) win only when
+        # the gathers are big enough: crossover measured at ~300K rays
+        # (PERF.md; 1080p 87 -> 76 ms, 384x288 would LOSE 9.4 -> 10.1).
+        rows_fn = None
+        if width * height >= 400_000:
+            rows_fn = handler.intersect_tiled_rows_fn(accel, arrays, cfg)
         return shade.render_tiled(
             arrays,
             handler.intersect_tiled_fn(accel, arrays, cfg),
@@ -74,6 +82,7 @@ def _render_jit(
             ray_tile=getattr(handler, "block_lanes", 128),
             block=block,
             interpret=jax.default_backend() != "tpu",
+            intersect_rows_fn=rows_fn,
         )
     # Scenes with real negative-material prims need the gather-based
     # shadow validity check — the XLA reference path.

@@ -101,6 +101,60 @@ def test_tiled_segmented_matches_resident(teatime):
     np.testing.assert_array_equal(np.asarray(i1)[v], np.asarray(i0)[v])
 
 
+def test_kernel_row_emission_matches_gather(teatime):
+    """The kernel's attribute second pass (match-matmul against the
+    attr table) must reproduce the XLA shade-table row gather
+    BIT-exactly (every product is attr*1 or attr*0)."""
+    cfg = ComputeConfig()
+    arrays = teatime.pack()
+    h = get_handler("pbvh", interpret=True)
+    accel, arr2 = h.build(teatime, arrays)
+    rows_fn = h.intersect_tiled_rows_fn(accel, arr2, cfg)
+    assert rows_fn is not None
+    payload, valid, _ = shade.camera_ray_tiles(
+        jnp.asarray(teatime.camera.pos, jnp.float32),
+        jnp.asarray(teatime.camera.at, jnp.float32),
+        64, 32, ray_tile=128, block=(8, 16),
+    )
+    t, pid, rows = rows_fn(payload, valid)
+    t_tiles, r = valid.shape
+    gathered = (
+        arr2.shade_table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
+    )
+    # Hit rays must match bit-exactly.  Miss rays differ by design:
+    # the kernel emits all-zero rows while a gather of sentinel row 0
+    # returns material-0 colors with flag -1 — every consumed field is
+    # masked by validity either way (see trace_tiled).
+    hit = np.asarray(valid & (pid != 0))[None].repeat(32, axis=0)
+    np.testing.assert_array_equal(
+        np.asarray(rows)[hit], np.asarray(gathered)[hit]
+    )
+    assert (np.asarray(rows)[:, np.asarray(valid & (pid == 0))] == 0).all()
+
+
+def test_tiled_rows_path_matches_gather_path(teatime):
+    """Full render through the split-call rows path == the fused
+    gather path (pbvh interpret)."""
+    cfg = ComputeConfig()
+    arrays = teatime.pack()
+    h = get_handler("pbvh", interpret=True)
+    accel, arr2 = h.build(teatime, arrays)
+    pos = jnp.asarray(teatime.camera.pos, jnp.float32)
+    at = jnp.asarray(teatime.camera.at, jnp.float32)
+    base = shade.render_tiled(
+        arr2, h.intersect_tiled_fn(accel, arr2, cfg), cfg, pos, at,
+        48, 32, ray_tile=128, block=(8, 16), interpret=True,
+    )
+    rows = shade.render_tiled(
+        arr2, h.intersect_tiled_fn(accel, arr2, cfg), cfg, pos, at,
+        48, 32, ray_tile=128, block=(8, 16), interpret=True,
+        intersect_rows_fn=h.intersect_tiled_rows_fn(accel, arr2, cfg),
+    )
+    np.testing.assert_allclose(
+        np.asarray(rows), np.asarray(base), atol=2e-6
+    )
+
+
 def test_renderer_uses_tiled_path(scenes_dir):
     """End-to-end Renderer equality across a handler with a native tiled
     entry and one using the AoS adapter."""
