@@ -336,7 +336,16 @@ def _mt_kernel(
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (tc, r), 0).astype(jnp.float32)
 
-    def subtile_body(g, _):
+    def subtile_miss(g):
+        # Valid tile whose culled chunk list is empty (common in
+        # secondary bounces and per-segment passes): emit misses
+        # without the carry init / sublane reduction of the full path.
+        out_t_ref[g, :, :] = jnp.full((1, r), miss, dtype=jnp.float32)
+        out_id_ref[g, :, :] = jnp.zeros((1, r), dtype=jnp.int32)
+        if emit_attrs:
+            rows_ref[:, g, :] = jnp.zeros((32, r), dtype=jnp.float32)
+
+    def subtile_full(g):
         ox = rays_ref[0:1, g, :]  # (1, 128)
         oy = rays_ref[1:2, g, :]
         oz = rays_ref[2:3, g, :]
@@ -452,13 +461,20 @@ def _mt_kernel(
             rows_ref[:, g, :] = jax.lax.fori_loop(
                 0, counts_ref[tile0 + g], attr_body, acc0
             )
+
+    def subtile_body(g, _):
+        jax.lax.cond(
+            counts_ref[tile0 + g] > 0,
+            lambda: subtile_full(g),
+            lambda: subtile_miss(g),
+        )
         return 0
 
     # Whole-group skip: secondary bounces leave most 32-tile groups
     # with no live ray at all; their outputs are unspecified by the
     # contract (callers mask by validity), so skip even the per-subtile
     # loop overhead.  Valid-but-empty tiles (count 0 in a live group)
-    # still write proper misses through the normal path.
+    # still write proper misses through the cheap subtile_miss branch.
     @pl.when(group_live_ref[pl.program_id(0)] > 0)
     def _():
         jax.lax.fori_loop(0, TILE_GROUP, subtile_body, 0)
