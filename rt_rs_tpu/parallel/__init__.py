@@ -68,23 +68,47 @@ def make_sharded_render(
         )
     rows_per_dev = height // n_dev
 
-    intersect = handler.intersect_fn(accel, arrays, cfg)
+    import jax as _jax
+
+    ray_tile = getattr(handler, "block_lanes", 128)
+    use_tiled = arrays.no_negative_materials
+    if use_tiled:
+        # Tiled frame path per band: the same fused-Pallas fast path as
+        # the single-chip Renderer (shading/intersect are elementwise
+        # per band, so the sharding story is unchanged: scene + accel
+        # replicate, rays are the data-parallel axis).
+        intersect_t = handler.intersect_tiled_fn(accel, arrays, cfg)
+        interp = _jax.default_backend() != "tpu"
+    else:
+        intersect = handler.intersect_fn(accel, arrays, cfg)
 
     # Pixel-block packet order within each device's band (bit-identical
     # output, tighter packet frusta; see shade.camera_rays), sized to
     # the handler's rays-per-tile.
     from rt_rs_tpu.config import Resolution
 
-    blk = Resolution().block(getattr(handler, "block_lanes", 128))
+    blk = Resolution().block(ray_tile)
 
     def band_render(row0, camera_pos, camera_at):
         # row0: [1] per-device band start (sharded scalar).
-        o, d = shade.camera_rays(
-            camera_pos, camera_at, width, height,
-            y_offset=row0[0], rows=rows_per_dev, block=blk,
-        )
-        color = shade.trace(arrays, intersect, cfg, o, d)
-        band = shade.unblock_colors(color, width, rows_per_dev, blk)
+        if use_tiled:
+            payload, valid, n_pixels = shade.camera_ray_tiles(
+                camera_pos, camera_at, width, height, ray_tile,
+                y_offset=row0[0], rows=rows_per_dev, block=blk,
+            )
+            color = shade.trace_tiled(
+                arrays, intersect_t, cfg, payload, valid, camera_pos,
+                interpret=interp,
+            )
+            flat = color.reshape(3, -1)[:, :n_pixels].T
+            band = shade.unblock_colors(flat, width, rows_per_dev, blk)
+        else:
+            o, d = shade.camera_rays(
+                camera_pos, camera_at, width, height,
+                y_offset=row0[0], rows=rows_per_dev, block=blk,
+            )
+            color = shade.trace(arrays, intersect, cfg, o, d)
+            band = shade.unblock_colors(color, width, rows_per_dev, blk)
         if with_metering:
             # Cross-chip collective (ICI): global mean luminance for
             # exposure metering.
