@@ -101,3 +101,13 @@ class IntrsHandler(abc.ABC):
         gathers entirely.  ``None`` (default) = unsupported; the trace
         falls back to gathering."""
         return None
+
+    def intersect_tiled_anyhit_fn(
+        self, accel: Any, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        """Occlusion-only variant: ``(payload, valid, t_cap=None) ->
+        blocked [T, r] bool`` where a ray is blocked iff some primitive
+        (other than its exclusion) lies within ``(t_min, payload row
+        7)``.  ``None`` (default) = unsupported; shadow batches then
+        use the closest-hit path (identical results)."""
+        return None

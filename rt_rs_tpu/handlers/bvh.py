@@ -259,6 +259,25 @@ class BvhIntrs(IntrsHandler):
             emit_rows=True,
         )
 
+    def intersect_tiled_anyhit_fn(
+        self, accel: BvhAccel, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        if accel.chunks is None:
+            return None
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
+
+        return partial(
+            packet_closest_hit_tiled,
+            accel.chunks,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=jax.default_backend() != "tpu",
+            any_hit=True,
+        )
+
 
 def _node_slab(o, inv_d, bmin, bmax):
     """Vector slab test vs per-ray node bounds [N, 3] -> (near, far).

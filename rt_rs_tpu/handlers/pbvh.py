@@ -252,3 +252,25 @@ class PacketBvhIntrs(IntrsHandler):
             emit_rows=True,
             **kwargs,
         )
+
+    def intersect_tiled_anyhit_fn(self, accel, arrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            TriChunks,
+            packet_closest_hit_tiled,
+        )
+
+        if not isinstance(accel, TriChunks):
+            return None
+        kwargs = {}
+        if self.cull_block is not None:
+            kwargs["cull_block"] = self.cull_block
+        return partial(
+            packet_closest_hit_tiled,
+            accel,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=self.interpret,
+            any_hit=True,
+            **kwargs,
+        )

@@ -233,6 +233,25 @@ class RfBvhIntrs(IntrsHandler):
             emit_rows=True,
         )
 
+    def intersect_tiled_anyhit_fn(
+        self, accel: RfAccel, arrays: SceneArrays, cfg: ComputeConfig
+    ):
+        if accel.chunks is None:
+            return None
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
+
+        return partial(
+            packet_closest_hit_tiled,
+            accel.chunks,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=jax.default_backend() != "tpu",
+            any_hit=True,
+        )
+
 
 def _rf_intersect(
     accel: RfArrays,

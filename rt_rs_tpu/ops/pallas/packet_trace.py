@@ -324,9 +324,12 @@ def _mt_kernel(
     eps: float,
     pid_base: float = 0.0,
     emit_attrs: bool = False,
+    any_hit: bool = False,
 ):
     if emit_attrs:
         attr_ref, out_t_ref, out_id_ref, rows_ref = refs
+    elif any_hit:
+        (out_blk_ref,) = refs
     else:
         out_t_ref, out_id_ref = refs
     miss = jnp.float32(t_max + 1.0)
@@ -340,6 +343,9 @@ def _mt_kernel(
         # Valid tile whose culled chunk list is empty (common in
         # secondary bounces and per-segment passes): emit misses
         # without the carry init / sublane reduction of the full path.
+        if any_hit:
+            out_blk_ref[g, :, :] = jnp.zeros((1, r), dtype=jnp.int32)
+            return
         out_t_ref[g, :, :] = jnp.full((1, r), miss, dtype=jnp.float32)
         out_id_ref[g, :, :] = jnp.zeros((1, r), dtype=jnp.int32)
         if emit_attrs:
@@ -353,9 +359,16 @@ def _mt_kernel(
         dy = rays_ref[4:5, g, :]
         dz = rays_ref[5:6, g, :]
         excl = rays_ref[6:7, g, :]  # GLOBAL prim id as f32 (exact < 2^24)
+        if any_hit:
+            # Per-ray occlusion bound (the light distance), carried in
+            # payload row 7 by shade_pre.
+            cap = rays_ref[7:8, g, :]
 
         def chunk_body(k, carry):
-            bt, bid = carry
+            if any_hit:
+                blk = carry
+            else:
+                bt, bid = carry
             c = ids_ref[g, 0, k]
 
             chunk = tri_ref[c]  # (8, 128); components in lanes 0..8
@@ -415,9 +428,26 @@ def _mt_kernel(
             )
             ok = ok & (pid != excl)
 
+            if any_hit:
+                # blocked iff ANY hit lies inside (t_min, cap): exactly
+                # equivalent to closest-hit-then-compare, since
+                # min(t) < cap iff some t < cap.  f32 carry — Mosaic
+                # miscompiles wide i1 loop carries (vpad layout bug).
+                return jnp.where(ok & (w < cap), jnp.float32(1.0), blk)
+
             w = jnp.where(ok, w, miss)
             better = w < bt
             return jnp.where(better, w, bt), jnp.where(better, pid, bid)
+
+        if any_hit:
+            blk = jax.lax.fori_loop(
+                0, counts_ref[tile0 + g], chunk_body,
+                jnp.zeros((tc, r), dtype=jnp.float32),
+            )
+            out_blk_ref[g, :, :] = (
+                jnp.max(blk, axis=0, keepdims=True) > 0.0
+            ).astype(jnp.int32)
+            return
 
         bt0 = jnp.full((tc, r), miss, dtype=jnp.float32)
         bid0 = jnp.zeros((tc, r), dtype=jnp.float32)
@@ -562,10 +592,18 @@ def packet_closest_hit_tiled(
     interpret: bool = False,
     pid_base: int = 0,
     emit_rows: bool = False,
+    any_hit: bool = False,
 ):
     """Closest hit over pre-tiled component-major rays -> (t [T, r],
     pid [T, r]) — plus the winning prims' shade-table rows
     ([32, T, r]) when ``emit_rows`` is set.
+
+    ``any_hit`` returns a single blocked mask [T, r] bool instead: True
+    iff some primitive lies within (t_min, cap_ray), where cap_ray is
+    read from payload row 7 (the occlusion distance written by
+    shade_pre).  Exactly equivalent to closest-hit-then-compare
+    (min(t) < cap iff any t < cap) at less kernel work — the shadow
+    fast path.
 
     This is the zero-relayout entry for the tiled frame path
     (:func:`rt_rs_tpu.ops.shade.trace_tiled`): the payload IS the
@@ -633,9 +671,11 @@ def packet_closest_hit_tiled(
         raise ValueError(
             "emit_rows requires a chunk table built with shade_rows"
         )
+    if emit_rows and any_hit:
+        raise ValueError("emit_rows and any_hit are mutually exclusive")
     kernel = partial(
         _mt_kernel, t_min=t_min, t_max=t_max, eps=eps,
-        pid_base=float(pid_base), emit_attrs=emit_rows,
+        pid_base=float(pid_base), emit_attrs=emit_rows, any_hit=any_hit,
     )
     in_specs = [
         pl.BlockSpec(
@@ -648,14 +688,22 @@ def packet_closest_hit_tiled(
             (nc, chunks.comp.shape[1], LANES), lambda t, *_: (0, 0, 0)
         ),
     ]
-    out_specs = [
-        pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
-        pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.float32),
-        jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
-    ]
+    if any_hit:
+        out_specs = [
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
+        ]
     operands = [group_live, counts, ids[:, None, :], payload, tri]
     if emit_rows:
         in_specs.append(
@@ -681,6 +729,8 @@ def packet_closest_hit_tiled(
         interpret=interpret,
     )(*operands)
 
+    if any_hit:
+        return outs[0].reshape(t_tiles, ray_tile) > 0
     out_t = outs[0].reshape(t_tiles, ray_tile)
     out_id = outs[1].reshape(t_tiles, ray_tile)
     if emit_rows:

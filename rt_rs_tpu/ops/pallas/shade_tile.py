@@ -129,7 +129,9 @@ def _shade_pre_kernel(
                 sh_refs[li][4, pl.ds(g0, SUBGROUP), :] = uy
                 sh_refs[li][5, pl.ds(g0, SUBGROUP), :] = uz
                 sh_refs[li][6, pl.ds(g0, SUBGROUP), :] = pid
-                sh_refs[li][7, pl.ds(g0, SUBGROUP), :] = jnp.zeros_like(pid)
+                # Row 7: per-ray occlusion bound for the any-hit shadow
+                # kernel (closest-hit kernels ignore it).
+                sh_refs[li][7, pl.ds(g0, SUBGROUP), :] = dist
                 cap_refs[li][pl.ds(g0, SUBGROUP), :] = dist
 
             if emit_next:
@@ -179,7 +181,8 @@ def _shade_post_kernel(
     pay_ref,  # VMEM (8, G, r): this bounce's rays (d -> specular)
     t_ref,  # VMEM (G, r)
     active_ref,  # VMEM (G, r) f32 (1.0 = live)
-    sh_t_ref,  # VMEM (k, G, r): shadow hit t per light
+    sh_t_ref,  # VMEM (k, G, r): shadow hit t per light — or, in
+    # blocked_mode, the any-hit kernel's blocked mask as f32
     sh_id_ref,  # VMEM (k, G, r) f32: shadow hit prim per light
     lights_ref,  # SMEM (k, 4)
     out_ref,  # VMEM (3, G, r): color contribution
@@ -188,6 +191,7 @@ def _shade_post_kernel(
     first_bounce: bool,
     t_min: float,
     t_max: float,
+    blocked_mode: bool = False,
 ):
     k = num_lights
     sg0 = pl.program_id(0) * (TILE_GROUP // SUBGROUP)
@@ -216,17 +220,22 @@ def _shade_post_kernel(
                 ls = lights_ref[li, 3]
                 ddx, ddy, ddz = lx - hx, ly - hy, lz - hz
                 s = ddx * ddx + ddy * ddy + ddz * ddz
-                dist = jnp.sqrt(s)
                 inv = jax.lax.rsqrt(s)
                 ux, uy, uz = ddx * inv, ddy * inv, ddz * inv
-                sh_t = sh_t_ref[li, pl.ds(g0, SUBGROUP), :]
-                sh_id = sh_id_ref[li, pl.ds(g0, SUBGROUP), :]
-                shadowed = (
-                    (sh_id != 0.0)
-                    & (sh_t < t_max)
-                    & (sh_t > t_min)
-                    & (sh_t < dist)
-                )
+                if blocked_mode:
+                    # The any-hit kernel already applied the full
+                    # occlusion predicate per ray.
+                    shadowed = sh_t_ref[li, pl.ds(g0, SUBGROUP), :] > 0.0
+                else:
+                    dist = jnp.sqrt(s)
+                    sh_t = sh_t_ref[li, pl.ds(g0, SUBGROUP), :]
+                    sh_id = sh_id_ref[li, pl.ds(g0, SUBGROUP), :]
+                    shadowed = (
+                        (sh_id != 0.0)
+                        & (sh_t < t_max)
+                        & (sh_t > t_min)
+                        & (sh_t < dist)
+                    )
                 lit = (~shadowed) & (ls > 0.0)
                 # diffuse (compute.wgsl:160-166)
                 dterm = ls * jnp.maximum(0.0, ux * nx + uy * ny + uz * nz)
@@ -330,14 +339,15 @@ def shade_post(
     payload,  # [8, T, r] this bounce's rays
     t,  # [T, r]
     active_f,  # [T, r] f32 (1.0 = live)
-    sh_t,  # [k, T, r]
-    sh_id_f,  # [k, T, r] f32
+    sh_t,  # [k, T, r] — or the any-hit blocked mask (f32) in blocked_mode
+    sh_id_f,  # [k, T, r] f32 (ignored in blocked_mode)
     live_sg,  # [T // SUBGROUP] int32
     lights,  # [k, 4]
     first_bounce: bool,
     t_min: float,
     t_max: float,
     interpret: bool = False,
+    blocked_mode: bool = False,
 ):
     """-> color contribution [3, T, r] (active-masked, scaled)."""
     k = int(lights.shape[0])
@@ -351,6 +361,7 @@ def shade_post(
         first_bounce=first_bounce,
         t_min=t_min,
         t_max=t_max,
+        blocked_mode=blocked_mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

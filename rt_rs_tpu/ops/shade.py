@@ -555,6 +555,7 @@ def trace_tiled(
     camera_pos: jax.Array,  # [3] (headlight position)
     interpret: bool = False,
     intersect_rows_fn: TiledIntersectFn | None = None,
+    intersect_anyhit_fn: TiledIntersectFn | None = None,
 ) -> jax.Array:
     """The bounce loop over component-major ray tiles -> color [3, T, r].
 
@@ -642,14 +643,25 @@ def trace_tiled(
         )
 
         if emit:
-            # Shadow rays need no rows: lean call.  The next bounce's
-            # closest hit is its own row-emitting call.
+            # Shadow rays need no rows: lean call — any-hit when the
+            # backend offers it (exactly equivalent; the occlusion
+            # bound rides payload row 7), else closest-hit.  The next
+            # bounce's closest hit is its own row-emitting call.
             sh_pay = jnp.concatenate(list(sh_pays), axis=1)
             sh_valid = jnp.concatenate([active] * k)
             sh_caps = jnp.concatenate(list(caps))
-            st, sid = intersect_fn(sh_pay, sh_valid, t_cap=sh_caps)
-            sh_t = st.reshape(k, t_tiles, r)
-            sh_id = sid.reshape(k, t_tiles, r)
+            if intersect_anyhit_fn is not None:
+                blocked = intersect_anyhit_fn(
+                    sh_pay, sh_valid, t_cap=sh_caps
+                )
+                sh_t = blocked.reshape(k, t_tiles, r).astype(jnp.float32)
+                sh_id = sh_t
+                blocked_mode = True
+            else:
+                st, sid = intersect_fn(sh_pay, sh_valid, t_cap=sh_caps)
+                sh_t = st.reshape(k, t_tiles, r)
+                sh_id = sid.reshape(k, t_tiles, r)
+                blocked_mode = False
             if not last:
                 t2, pid2, rows2 = intersect_rows_fn(nxt, active)
         else:
@@ -670,12 +682,14 @@ def trace_tiled(
             st, sid = intersect_fn(pay_cat, valid_cat, t_cap=caps_cat)
             sh_t = st[: k * t_tiles].reshape(k, t_tiles, r)
             sh_id = sid[: k * t_tiles].reshape(k, t_tiles, r)
+            blocked_mode = False
 
         contrib = shade_post(
             rows, payload, t, active.astype(jnp.float32),
             sh_t, sh_id.astype(jnp.float32), live_sg, lights,
             first_bounce=bounce == 0,
             t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
+            blocked_mode=blocked_mode,
         )
         color = color + contrib
 
@@ -702,6 +716,7 @@ def render_tiled(
     block: tuple[int, int] | None = None,
     interpret: bool = False,
     intersect_rows_fn: TiledIntersectFn | None = None,
+    intersect_anyhit_fn: TiledIntersectFn | None = None,
 ) -> jax.Array:
     """Full frame via the tiled path -> color [H, W, 3] float32.
 
@@ -712,6 +727,7 @@ def render_tiled(
     color = trace_tiled(
         scene, intersect_fn, cfg, payload, valid, camera_pos,
         interpret=interpret, intersect_rows_fn=intersect_rows_fn,
+        intersect_anyhit_fn=intersect_anyhit_fn,
     )
     flat = color.reshape(3, -1)[:, :n_pixels].T  # [n_pixels, 3]
     if block is not None:

@@ -69,8 +69,13 @@ def _render_jit(
         # the gathers are big enough: crossover measured at ~300K rays
         # (PERF.md; 1080p 87 -> 76 ms, 384x288 would LOSE 9.4 -> 10.1).
         rows_fn = None
+        anyhit_fn = None
         if width * height >= 400_000:
             rows_fn = handler.intersect_tiled_rows_fn(accel, arrays, cfg)
+            if rows_fn is not None:
+                anyhit_fn = handler.intersect_tiled_anyhit_fn(
+                    accel, arrays, cfg
+                )
         return shade.render_tiled(
             arrays,
             handler.intersect_tiled_fn(accel, arrays, cfg),
@@ -83,6 +88,7 @@ def _render_jit(
             block=block,
             interpret=jax.default_backend() != "tpu",
             intersect_rows_fn=rows_fn,
+            intersect_anyhit_fn=anyhit_fn,
         )
     # Scenes with real negative-material prims need the gather-based
     # shadow validity check — the XLA reference path.

@@ -155,6 +155,31 @@ def test_tiled_rows_path_matches_gather_path(teatime):
     )
 
 
+def test_anyhit_shadow_matches_closest(teatime):
+    """Any-hit shadow verdicts (blocked-bool kernel, occlusion bound in
+    payload row 7) must give the identical image: min(t) < d iff any
+    t < d, so the predicate is exactly equivalent."""
+    cfg = ComputeConfig()
+    arrays = teatime.pack()
+    h = get_handler("pbvh", interpret=True)
+    accel, arr2 = h.build(teatime, arrays)
+    pos = jnp.asarray(teatime.camera.pos, jnp.float32)
+    at = jnp.asarray(teatime.camera.at, jnp.float32)
+    rows_fn = h.intersect_tiled_rows_fn(accel, arr2, cfg)
+    base = shade.render_tiled(
+        arr2, h.intersect_tiled_fn(accel, arr2, cfg), cfg, pos, at,
+        48, 32, ray_tile=128, block=(8, 16), interpret=True,
+        intersect_rows_fn=rows_fn,
+    )
+    anyhit = shade.render_tiled(
+        arr2, h.intersect_tiled_fn(accel, arr2, cfg), cfg, pos, at,
+        48, 32, ray_tile=128, block=(8, 16), interpret=True,
+        intersect_rows_fn=rows_fn,
+        intersect_anyhit_fn=h.intersect_tiled_anyhit_fn(accel, arr2, cfg),
+    )
+    np.testing.assert_array_equal(np.asarray(anyhit), np.asarray(base))
+
+
 def test_renderer_uses_tiled_path(scenes_dir):
     """End-to-end Renderer equality across a handler with a native tiled
     entry and one using the AoS adapter."""
