@@ -247,7 +247,11 @@ class BvhIntrs(IntrsHandler):
             return None
         from rt_rs_tpu.ops.pallas.packet_trace import (
             packet_closest_hit_tiled,
+            resident_fits,
         )
+
+        if not resident_fits(accel.chunks, with_attrs=True):
+            return None
 
         return partial(
             packet_closest_hit_tiled,

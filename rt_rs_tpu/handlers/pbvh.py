@@ -235,9 +235,12 @@ class PacketBvhIntrs(IntrsHandler):
         from rt_rs_tpu.ops.pallas.packet_trace import (
             TriChunks,
             packet_closest_hit_tiled,
+            resident_fits,
         )
 
         if not (isinstance(accel, TriChunks) and accel.attr_t is not None):
+            return None
+        if not resident_fits(accel, with_attrs=True):
             return None
         kwargs = {}
         if self.cull_block is not None:
@@ -257,9 +260,12 @@ class PacketBvhIntrs(IntrsHandler):
         from rt_rs_tpu.ops.pallas.packet_trace import (
             TriChunks,
             packet_closest_hit_tiled,
+            resident_fits,
         )
 
-        if not isinstance(accel, TriChunks):
+        if not (isinstance(accel, TriChunks) and resident_fits(accel)):
+            # Beyond-VMEM tables (streaming_mode="dma" builds) have no
+            # resident any-hit entry.
             return None
         kwargs = {}
         if self.cull_block is not None:

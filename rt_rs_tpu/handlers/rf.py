@@ -221,7 +221,11 @@ class RfBvhIntrs(IntrsHandler):
             return None
         from rt_rs_tpu.ops.pallas.packet_trace import (
             packet_closest_hit_tiled,
+            resident_fits,
         )
+
+        if not resident_fits(accel.chunks, with_attrs=True):
+            return None
 
         return partial(
             packet_closest_hit_tiled,

@@ -2,8 +2,8 @@
 
 The resident kernel (``packet_trace.py``) keeps the whole chunk table
 in VMEM — ideal up to ~12K triangles (every bundled scene), impossible
-beyond.  This variant keeps the table in HBM and DMAs 256-triangle
-*blocks* (128 KB) through a double-buffered VMEM scratch, so scene
+beyond.  This variant keeps the table in HBM and DMAs 512-triangle
+*blocks* (256 KB) through a double-buffered VMEM scratch, so scene
 size is bounded by HBM, not VMEM.
 
 Structure per grid step (one group of ``TILE_GROUP`` ray tiles):
@@ -58,12 +58,12 @@ def _mt_stream_kernel(
     blockids_ref,  # SMEM (1, 1, NBpad) int32: compacted block list
     words_ref,  # SMEM (G, 1, NB) int32: per-subtile chunk bits by block
     rays_ref,  # VMEM (G, 8, RAY_TILE) f32
-    tri_hbm,  # ANY/HBM (NB, 256, 128) f32: full chunk table, blocked
+    tri_hbm,  # ANY/HBM (NB, block_sublanes, 128) f32: chunk table, blocked
     out_t_ref,  # VMEM (G, 1, RAY_TILE) f32
     out_id_ref,  # VMEM (G, 1, RAY_TILE) int32
     acc_t,  # VMEM scratch (G, tc, RAY_TILE) f32
     acc_id,  # VMEM scratch (G, tc, RAY_TILE) f32
-    buf,  # VMEM scratch (2, 256, 128) f32: double buffer
+    buf,  # VMEM scratch (2, BLOCK_SUBLANES, 128) f32: double buffer
     sem,  # DMA semaphores (2,)
     *,
     t_min: float,
@@ -75,7 +75,7 @@ def _mt_stream_kernel(
     miss = jnp.float32(t_max + 1.0)
     nb = counts_ref[group]
     tc = tri_chunk
-    cpb = BLOCK_SUBLANES // tc  # chunks per block
+    cpb = buf.shape[1] // tc  # chunks per block (buf is one DMA block)
 
     sub = jax.lax.broadcasted_iota(
         jnp.int32, (tc, RAY_TILE), 0
@@ -231,9 +231,11 @@ def stream_closest_hit(
     n = o.shape[0]
     nc = chunks.num_chunks
     tc = int(chunks.comp.shape[1])
-    if BLOCK_SUBLANES % tc:
-        raise ValueError(f"tri_chunk {tc} must divide {BLOCK_SUBLANES}")
-    cpb = BLOCK_SUBLANES // tc  # chunks per block
+    # Chunks per block is capped at 32 (one bit per chunk in the int32
+    # overlap word), so small chunks get proportionally smaller DMA
+    # blocks (tc=8 -> 256-tri blocks, tc>=16 -> 512).
+    cpb = min(32, max(1, BLOCK_SUBLANES // tc))
+    block_sublanes = cpb * tc
     # Prim ids travel as f32 inside the kernel (exact below 2^24).
     if nc * tc + 1 >= (1 << 24):
         raise ValueError(
@@ -300,7 +302,7 @@ def stream_closest_hit(
     pad_chunks = nc_pad - nc
     if pad_chunks:
         tri = jnp.pad(tri, ((0, pad_chunks), (0, 0), (0, 0)))
-    tri = tri.reshape(nb, BLOCK_SUBLANES, LANES)
+    tri = tri.reshape(nb, block_sublanes, LANES)
 
     kernel = partial(
         _mt_stream_kernel, t_min=t_min, t_max=t_max, eps=eps, tri_chunk=tc
@@ -329,7 +331,7 @@ def stream_closest_hit(
         scratch_shapes=[
             pltpu.VMEM((TILE_GROUP, tc, RAY_TILE), jnp.float32),
             pltpu.VMEM((TILE_GROUP, tc, RAY_TILE), jnp.float32),
-            pltpu.VMEM((2, BLOCK_SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((2, block_sublanes, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

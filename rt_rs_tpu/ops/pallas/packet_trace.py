@@ -105,6 +105,20 @@ class TriChunks:
     attr_t: jax.Array | None = None
 
 
+def resident_fits(chunks: "TriChunks", with_attrs: bool = False) -> bool:
+    """Whether a chunk table fits the VMEM-resident kernel budget.
+
+    ``with_attrs`` accounts for the attr_t table the emit_rows kernel
+    additionally holds (+50% VMEM per triangle): the rows path is only
+    offered up to 2/3 of the plain cap; beyond that, callers fall back
+    to the gather path (correct, slightly slower)."""
+    tris = chunks.num_chunks * int(chunks.comp.shape[1])
+    cap = MAX_VMEM_CHUNKS * TRI_CHUNK
+    if with_attrs:
+        cap = (cap * 2) // 3
+    return tris <= cap
+
+
 def build_tri_chunks(
     pa: np.ndarray,
     pb: np.ndarray,
@@ -624,6 +638,14 @@ def packet_closest_hit_tiled(
             f"chunk count {nc} not divisible by cull_block {cull_block} "
             f"(builders pad to CHUNK_ALIGN={CHUNK_ALIGN})"
         )
+    # Prim ids (incl. the global pid_base shift) travel as f32 in the
+    # kernel; they must stay exactly representable (same guard as the
+    # DMA streaming kernel, packet_stream.py).
+    if pid_base + nc * int(chunks.comp.shape[1]) + 1 >= 1 << 24:
+        raise ValueError(
+            "prim ids exceed f32 exact-integer range (2^24); scene too "
+            "large for exact exclusion/hit ids"
+        )
     nb = nc // cull_block
     t_tiles, ray_tile = valid.shape
     if t_tiles % TILE_GROUP:
@@ -790,6 +812,20 @@ def split_chunks(
     )
 
 
+def _check_total_prims_f32(seg: "SegmentedTriChunks") -> None:
+    """Global prim ids (and exclusion ids fed to per-segment kernels)
+    must stay exactly representable in f32 (< 2^24); the per-call
+    guard in packet_closest_hit_tiled covers pid_base shifts, this
+    covers the excl-shift form used by the AoS segmented path."""
+    last = seg.segments[-1]
+    total = seg.prim_base[-1] + last.num_chunks * int(last.comp.shape[1])
+    if total + 1 >= 1 << 24:
+        raise ValueError(
+            "prim ids exceed f32 exact-integer range (2^24); scene too "
+            "large for exact exclusion/hit ids"
+        )
+
+
 def packet_closest_hit_segmented(
     seg: SegmentedTriChunks,
     o: jax.Array,
@@ -814,6 +850,7 @@ def packet_closest_hit_segmented(
     exact ties the earlier segment wins, which preserves the naive
     loop's first-strictly-smaller semantics because prim ids grow with
     segment index."""
+    _check_total_prims_f32(seg)
     best_t = None
     best_id = None
     for base, chunk_seg in zip(seg.prim_base, seg.segments):

@@ -45,7 +45,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_GROUP = 32  # tiles per grid step (matches packet_trace.TILE_GROUP)
+from rt_rs_tpu.ops.pallas.packet_trace import (  # noqa: E402
+    TILE_GROUP,  # tiles per grid step — one constant for all tiled kernels
+)
+
 SUBGROUP = 8  # tiles per in-kernel iteration: (8, r) native blocks
 
 

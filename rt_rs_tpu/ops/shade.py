@@ -97,6 +97,34 @@ def unblock_colors(
     return img[:rows, :width]
 
 
+def _pixel_grid(
+    width: int,
+    height: int,
+    rows: int,
+    y_offset: jax.Array | int,
+    block: tuple[int, int] | None,
+) -> tuple[jax.Array, jax.Array, int]:
+    """Normalized pixel coordinates for a band of the image ->
+    (norm_x [N], norm_y [N], n_pixels), in raster order (``block``
+    None) or pixel-block order.  Shared by :func:`camera_rays` and
+    :func:`camera_ray_tiles` so the two layouts stay bit-identical
+    per ray.  Block padding duplicates clamped border pixels (same
+    float coordinates -> identical ray math); ``unblock_colors`` crops
+    them away."""
+    xs = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
+    ys = (
+        (jnp.arange(rows, dtype=jnp.float32) + y_offset) / height
+    ) - 0.5
+    if block is None:
+        return jnp.tile(xs, rows), jnp.repeat(ys, width), rows * width
+    rp, wp = padded_block_dims(width, rows, block)
+    xi = jnp.minimum(jnp.arange(wp), width - 1)
+    yi = jnp.minimum(jnp.arange(rp), rows - 1)
+    norm_x = _blockify(jnp.broadcast_to(xs[xi][None, :], (rp, wp)), block)
+    norm_y = _blockify(jnp.broadcast_to(ys[yi][:, None], (rp, wp)), block)
+    return norm_x, norm_y, rp * wp
+
+
 def camera_rays(
     camera_pos: jax.Array,  # [3]
     camera_at: jax.Array,  # [3]
@@ -131,26 +159,7 @@ def camera_rays(
     up = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
     right = jnp.cross(dir_, up)
 
-    xs = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
-    ys = (
-        (jnp.arange(rows, dtype=jnp.float32) + y_offset) / height
-    ) - 0.5
-    if block is None:
-        norm_x = jnp.tile(xs, rows)  # [R*W]
-        norm_y = jnp.repeat(ys, width)
-    else:
-        rp, wp = padded_block_dims(width, rows, block)
-        # Clamped edge indices: padding duplicates border pixels (same
-        # float coordinates as the real ones -> identical ray math) and
-        # unblock_colors crops them away.
-        xi = jnp.minimum(jnp.arange(wp), width - 1)
-        yi = jnp.minimum(jnp.arange(rp), rows - 1)
-        norm_x = _blockify(
-            jnp.broadcast_to(xs[xi][None, :], (rp, wp)), block
-        )
-        norm_y = _blockify(
-            jnp.broadcast_to(ys[yi][:, None], (rp, wp)), block
-        )
+    norm_x, norm_y, _ = _pixel_grid(width, height, rows, y_offset, block)
 
     pt = (
         right[None, :] * norm_x[:, None]
@@ -491,25 +500,9 @@ def camera_ray_tiles(
     up = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
     right = jnp.cross(dir_, up)
 
-    xs = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
-    ys = (
-        (jnp.arange(rows, dtype=jnp.float32) + y_offset) / height
-    ) - 0.5
-    if block is None:
-        norm_x = jnp.tile(xs, rows)
-        norm_y = jnp.repeat(ys, width)
-        n_pixels = rows * width
-    else:
-        rp, wp = padded_block_dims(width, rows, block)
-        xi = jnp.minimum(jnp.arange(wp), width - 1)
-        yi = jnp.minimum(jnp.arange(rp), rows - 1)
-        norm_x = _blockify(
-            jnp.broadcast_to(xs[xi][None, :], (rp, wp)), block
-        )
-        norm_y = _blockify(
-            jnp.broadcast_to(ys[yi][:, None], (rp, wp)), block
-        )
-        n_pixels = rp * wp
+    norm_x, norm_y, n_pixels = _pixel_grid(
+        width, height, rows, y_offset, block
+    )
 
     t_tiles = -(-n_pixels // ray_tile)
     t_tiles = -(-t_tiles // TILE_GROUP) * TILE_GROUP

@@ -260,6 +260,7 @@ class DynamicRenderer:
         from rt_rs_tpu.handlers.lbvh import build_accel_device, device_chunks
         from rt_rs_tpu.handlers.pbvh import DEFAULT_RAY_TILE
         from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit,
             packet_closest_hit_tiled,
         )
 
@@ -313,19 +314,36 @@ class DynamicRenderer:
                 accel = device_chunks(arrays.pa, arrays.pb, arrays.pc)
             else:
                 accel, arrays = build_accel_device(arrays)
+            blk = self.config.resolution.block(DEFAULT_RAY_TILE)
+            if arrays.no_negative_materials:
+                intersect = partial(
+                    packet_closest_hit_tiled,
+                    accel,
+                    t_min=cfg.t_min,
+                    t_max=cfg.t_max,
+                    eps=cfg.eps,
+                    interpret=interpret,
+                )
+                return shade.render_tiled(
+                    arrays, intersect, cfg, camera_pos, camera_at,
+                    width, height,
+                    ray_tile=DEFAULT_RAY_TILE, block=blk,
+                    interpret=interpret,
+                )
+            # Real negative-material prims need the gather-based shadow
+            # validity check — the XLA reference path.
             intersect = partial(
-                packet_closest_hit_tiled,
+                packet_closest_hit,
                 accel,
                 t_min=cfg.t_min,
                 t_max=cfg.t_max,
                 eps=cfg.eps,
+                ray_tile=DEFAULT_RAY_TILE,
                 interpret=interpret,
             )
-            return shade.render_tiled(
-                arrays, intersect, cfg, camera_pos, camera_at, width, height,
-                ray_tile=DEFAULT_RAY_TILE,
-                block=self.config.resolution.block(DEFAULT_RAY_TILE),
-                interpret=interpret,
+            return shade.render(
+                arrays, intersect, cfg, camera_pos, camera_at,
+                width, height, block=blk,
             )
 
         self._step = jax.jit(step)

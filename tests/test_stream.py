@@ -95,3 +95,31 @@ def test_stream_matches_naive_beyond_vmem_cap():
         np.asarray(t1), np.asarray(t0), rtol=1e-4, atol=5e-6
     )
     assert ((np.asarray(i1) == 0) == (np.asarray(i0) == 0)).all()
+
+
+def test_stream_small_chunks_shrink_blocks():
+    """tri_chunk < 16 would give > 32 chunks per 512-tri DMA block,
+    overflowing the int32 overlap word (bits 32+ silently dropped, so
+    those chunks were never tested).  Blocks must shrink to keep chunks
+    per block <= 32; equality vs the resident kernel over > 32 chunks
+    pins the fix."""
+    rng = np.random.default_rng(51)
+    scene = _soup(rng, 400)  # 50+ chunks at tri_chunk=8
+    arrays = scene.pack()
+    chunks = build_tri_chunks(
+        arrays.pa, arrays.pb, arrays.pc, max_chunks=None, tri_chunk=8
+    )
+    o, d = _rays(rng, 96)
+    excl = jnp.zeros((96,), jnp.int32)
+    ones = jnp.ones((96,), bool)
+    from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit
+
+    t0, i0 = packet_closest_hit(
+        chunks, o, d, excl, ones,
+        t_min=0.01, t_max=1000.0, eps=1e-7, interpret=True,
+    )
+    t1, i1 = stream_closest_hit(
+        chunks, o, d, excl, ones,
+        t_min=0.01, t_max=1000.0, eps=1e-7, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
