@@ -97,13 +97,28 @@ class Resolution:
             return fallback
         return (self.width, self.height)
 
+    def wg(self) -> int:
+        """The reference's workgroup-size selection
+        (``Resolution::wg()``, ``src/lib/mod.rs:79-105``): Dynamic/Fixed
+        carry an explicit ``wg``; Sized derives it as ``gcd(width,
+        height)``; any result with ``wg * wg > 256`` (the WebGPU
+        workgroup ceiling) collapses to 16."""
+        import math
+
+        if self.wg_hint is not None:
+            dim = int(self.wg_hint)
+        elif self.width is not None and self.height is not None:
+            dim = math.gcd(int(self.width), int(self.height))  # Sized
+        else:
+            dim = 16
+        return 16 if dim * dim > 256 else dim
+
     def block(self, lanes: int = 128) -> tuple[int, int]:
-        """Packet pixel-block shape ``(bh, bw)`` from the workgroup
-        hint: ``bw = clamp(wg, 1..lanes)`` pixels wide, ``lanes/bw``
-        tall — one ``lanes``-ray packet tile per block (the
-        ``Resolution::wg()`` analogue; consumed by ``Renderer``)."""
-        wg = self.wg_hint or 16
-        bw = max(1, min(int(wg), lanes))
+        """Packet pixel-block shape ``(bh, bw)`` from :meth:`wg`:
+        ``bw = clamp(wg, 1..lanes)`` pixels wide, ``lanes/bw`` tall —
+        one ``lanes``-ray packet tile per block (the ``Resolution::wg()``
+        analogue; consumed by ``Renderer``)."""
+        bw = max(1, min(self.wg(), lanes))
         while lanes % bw:  # keep bh * bw == lanes exact
             bw -= 1
         return (lanes // bw, bw)

@@ -33,6 +33,8 @@ from rt_rs_tpu.ops.pallas.packet_trace import (
     LANES,
     MAX_VMEM_CHUNKS,
     TRI_CHUNK,
+    TUNED_RAY_TILE,
+    TUNED_TRI_CHUNK,
     TriChunks,
     packet_closest_hit,
 )
@@ -40,22 +42,35 @@ from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.scene.arrays import SceneArrays
 
 
-def device_chunks(pa: jax.Array, pb: jax.Array, pc: jax.Array) -> TriChunks:
+def device_chunks(
+    pa: jax.Array,
+    pb: jax.Array,
+    pc: jax.Array,
+    tri_chunk: int = TUNED_TRI_CHUNK,
+    shade_rows: jax.Array | None = None,
+) -> TriChunks:
     """jnp version of ``build_tri_chunks`` (jit-traceable).
 
     Inputs are the *reordered* per-prim corners including the null
-    sentinel row 0 (excluded here, as in the host builder).
+    sentinel row 0 (excluded here, as in the host builder).  The
+    default chunk height is the PERF.md-measured optimum (64 triangles
+    amortize the kernel's per-list-entry fixed cost ~2x vs the round-1
+    8-tri chunks).  ``shade_rows`` ([P+1, 32], the permuted shade
+    table) additionally builds the transposed attribute table that the
+    kernel's emit-rows pass consumes.
     """
     pa, pb, pc = pa[1:], pb[1:], pc[1:]
     p = pa.shape[0]
-    nc = max(1, -(-p // TRI_CHUNK))
+    nc = max(1, -(-p // tri_chunk))
     nc = -(-nc // CHUNK_ALIGN) * CHUNK_ALIGN
-    if nc > MAX_VMEM_CHUNKS:
+    if nc * tri_chunk > MAX_VMEM_CHUNKS * TRI_CHUNK:
         raise ValueError(
-            f"{p} triangles -> {nc} chunks exceeds the packet kernel's "
-            f"VMEM limit ({MAX_VMEM_CHUNKS}); use the 'bvh' handler"
+            f"{p} triangles -> {nc} chunks x {tri_chunk} exceeds the "
+            f"packet kernel's VMEM limit "
+            f"({MAX_VMEM_CHUNKS * TRI_CHUNK} tris); use the 'bvh' or "
+            "'pbvh' (segmented) handler"
         )
-    pad = nc * TRI_CHUNK - p
+    pad = nc * tri_chunk - p
 
     def padz(x):
         return jnp.pad(x, ((0, pad), (0, 0)))
@@ -64,24 +79,40 @@ def device_chunks(pa: jax.Array, pb: jax.Array, pc: jax.Array) -> TriChunks:
     e1 = pb_ - pa_
     e2 = pc_ - pa_
     comp9 = jnp.concatenate([pa_, e1, e2], axis=1)  # [P_pad, 9]
-    comp = jnp.zeros((nc, TRI_CHUNK, LANES), dtype=jnp.float32)
-    comp = comp.at[:, :, :9].set(comp9.reshape(nc, TRI_CHUNK, 9))
+    comp = jnp.zeros((nc, tri_chunk, LANES), dtype=jnp.float32)
+    comp = comp.at[:, :, :9].set(comp9.reshape(nc, tri_chunk, 9))
 
     big = jnp.float32(3.0e38)
     tri_min = jnp.minimum(jnp.minimum(pa_, pb_), pc_)
     tri_max = jnp.maximum(jnp.maximum(pa_, pb_), pc_)
     if pad:
-        real = jnp.arange(nc * TRI_CHUNK) < p
+        real = jnp.arange(nc * tri_chunk) < p
         tri_min = jnp.where(real[:, None], tri_min, big)
         tri_max = jnp.where(real[:, None], tri_max, -big)
-    bmin = tri_min.reshape(nc, TRI_CHUNK, 3).min(axis=1)
-    bmax = tri_max.reshape(nc, TRI_CHUNK, 3).max(axis=1)
-    return TriChunks(comp=comp, bmin=bmin, bmax=bmax, num_chunks=nc)
+    bmin = tri_min.reshape(nc, tri_chunk, 3).min(axis=1)
+    bmax = tri_max.reshape(nc, tri_chunk, 3).max(axis=1)
+
+    attr_t = None
+    if shade_rows is not None:
+        rows = jnp.pad(shade_rows[1:], ((0, pad), (0, 0)))
+        at = rows.reshape(nc, tri_chunk, 32).transpose(0, 2, 1)
+        attr_t = jnp.zeros((nc, 32, LANES), dtype=jnp.float32)
+        attr_t = attr_t.at[:, :, :tri_chunk].set(at)
+
+    return TriChunks(
+        comp=comp, bmin=bmin, bmax=bmax, num_chunks=nc, attr_t=attr_t
+    )
 
 
-def build_accel_device(arrays: SceneArrays) -> tuple[TriChunks, SceneArrays]:
+def build_accel_device(
+    arrays: SceneArrays,
+    tri_chunk: int = TUNED_TRI_CHUNK,
+    with_attrs: bool = False,
+) -> tuple[TriChunks, SceneArrays]:
     """On-device LBVH 'build': Morton-sort the prims, permute the scene
-    arrays, chunk.  Jit-traceable; call per frame for dynamic scenes."""
+    arrays, chunk.  Jit-traceable; call per frame for dynamic scenes.
+    ``with_attrs`` also builds the emit-rows attribute table from the
+    permuted shade table."""
     pa, pb, pc = arrays.pa[1:], arrays.pb[1:], arrays.pc[1:]
     third = jnp.float32(1.0 / 3.0)
     cent = (pa + pb + pc) * third
@@ -104,30 +135,72 @@ def build_accel_device(arrays: SceneArrays) -> tuple[TriChunks, SceneArrays]:
         nc=arrays.nc[perm],
         shade_table=arrays.shade_table[perm],
     )
-    chunks = device_chunks(arrays.pa, arrays.pb, arrays.pc)
+    chunks = device_chunks(
+        arrays.pa, arrays.pb, arrays.pc,
+        tri_chunk=tri_chunk,
+        shade_rows=arrays.shade_table if with_attrs else None,
+    )
     return chunks, arrays
 
 
 class LbvhIntrs(IntrsHandler):
+    """Static-scene LBVH handler on the TUNED packet-kernel config.
+
+    Round-2's version ran the 8-tri-chunk kernel through the base-class
+    AoS adapter (measured ~2x slower, PERF.md); this one builds
+    64-tri chunks + the emit-rows attribute table on device and exposes
+    the same tiled/rows/any-hit entries as the pbvh handler, so the
+    Renderer's fast paths apply unchanged (VERDICT round-2 item 1).
+    """
+
     name = "LBVH"
 
-    def __init__(self, interpret: bool | None = None):
+    def __init__(
+        self,
+        interpret: bool | None = None,
+        tri_chunk: int | None = None,
+        ray_tile: int | None = None,
+    ):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        self.tri_chunk = (
+            TUNED_TRI_CHUNK if tri_chunk is None else tri_chunk
+        )
+        self.ray_tile = TUNED_RAY_TILE if ray_tile is None else ray_tile
+
+    @property
+    def block_lanes(self) -> int:
+        """Rays per packet tile (sizes the Renderer's pixel-block)."""
+        return self.ray_tile
 
     def build(self, scene: Scene, arrays: SceneArrays):
-        chunks, arrays = jax.jit(build_accel_device)(arrays)
+        # Attrs only when the table still fits the emit-rows VMEM
+        # budget (the resident_fits with_attrs cap); larger scenes drop
+        # to the gather path exactly like pbvh.
+        tris = arrays.pa.shape[0] - 1
+        cap = (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
+        with_attrs = tris <= cap
+        chunks, arrays = jax.jit(
+            partial(
+                build_accel_device,
+                tri_chunk=self.tri_chunk,
+                with_attrs=with_attrs,
+            )
+        )(arrays)
         return chunks, arrays
 
     def stats(self, accel: TriChunks) -> IntrsStats:
         import numpy as _np
 
-        # Honest device footprint (lane-padded chunk table + bounds).
+        # Honest device footprint (lane-padded chunk table + bounds
+        # + the optional emit-rows attr table).
         size = int(
             _np.prod(accel.comp.shape) * 4
             + _np.prod(accel.bmin.shape) * 4 * 2
         )
+        if accel.attr_t is not None:
+            size += int(_np.prod(accel.attr_t.shape) * 4)
         return IntrsStats(name="LBVH", size=size)
 
     def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):
@@ -137,5 +210,53 @@ class LbvhIntrs(IntrsHandler):
             t_min=cfg.t_min,
             t_max=cfg.t_max,
             eps=cfg.eps,
+            ray_tile=self.ray_tile,
             interpret=self.interpret,
+        )
+
+    def intersect_tiled_fn(self, accel, arrays: SceneArrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
+
+        return partial(
+            packet_closest_hit_tiled,
+            accel,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=self.interpret,
+        )
+
+    def intersect_tiled_rows_fn(self, accel, arrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+            resident_fits,
+        )
+
+        if accel.attr_t is None or not resident_fits(accel, with_attrs=True):
+            return None
+        return partial(
+            packet_closest_hit_tiled,
+            accel,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=self.interpret,
+            emit_rows=True,
+        )
+
+    def intersect_tiled_anyhit_fn(self, accel, arrays, cfg: ComputeConfig):
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
+
+        return partial(
+            packet_closest_hit_tiled,
+            accel,
+            t_min=cfg.t_min,
+            t_max=cfg.t_max,
+            eps=cfg.eps,
+            interpret=self.interpret,
+            any_hit=True,
         )

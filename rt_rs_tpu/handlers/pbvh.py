@@ -108,19 +108,20 @@ class PacketBvhIntrs(IntrsHandler):
         tri_chunk = (
             DEFAULT_TRI_CHUNK if self.tri_chunk is None else self.tri_chunk
         )
+        # Resident AND segmented tables carry the shade-attribute table
+        # so the kernel can emit hit rows (skipping the XLA row
+        # gathers); only the DMA-streaming table skips it (that kernel
+        # has no rows pass).
+        dma = self._streaming and self.streaming_mode == "dma"
         chunks = build_tri_chunks(
             arrays.pa, arrays.pb, arrays.pc,
             max_chunks=None, tri_chunk=tri_chunk,
-            # Resident tables carry the shade-attribute table so the
-            # kernel can emit hit rows (skipping the XLA row gathers);
-            # beyond-VMEM tables skip it (they stay on the gather path).
-            shade_rows=(
-                None if self._streaming else np.asarray(arrays.shade_table)
-            ),
+            shade_rows=(None if dma else np.asarray(arrays.shade_table)),
         )
         if self._streaming and self.streaming_mode == "segmented":
             # Pre-slice on concrete arrays so the per-frame graph
-            # carries no table-slice copies.
+            # carries no table-slice copies.  Segments are sized to the
+            # with-attrs VMEM cap so each can run the rows kernel.
             from rt_rs_tpu.ops.pallas.packet_trace import split_chunks
 
             return split_chunks(chunks), arrays
@@ -140,7 +141,9 @@ class PacketBvhIntrs(IntrsHandler):
         )
         size = int(
             sum(
-                np.prod(p.comp.shape) * 4 + np.prod(p.bmin.shape) * 4 * 2
+                np.prod(p.comp.shape) * 4
+                + np.prod(p.bmin.shape) * 4 * 2
+                + (0 if p.attr_t is None else np.prod(p.attr_t.shape) * 4)
                 for p in parts
             )
         )
@@ -233,20 +236,30 @@ class PacketBvhIntrs(IntrsHandler):
 
     def intersect_tiled_rows_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
+            SegmentedTriChunks,
             TriChunks,
+            packet_closest_hit_segmented_tiled,
             packet_closest_hit_tiled,
             resident_fits,
         )
 
-        if not (isinstance(accel, TriChunks) and accel.attr_t is not None):
-            return None
-        if not resident_fits(accel, with_attrs=True):
-            return None
         kwargs = {}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
+        if isinstance(accel, SegmentedTriChunks):
+            # Per-segment rows + min-t winner select (still bit-exact;
+            # see packet_closest_hit_segmented_tiled).
+            if any(s.attr_t is None for s in accel.segments):
+                return None
+            fn = packet_closest_hit_segmented_tiled
+        elif isinstance(accel, TriChunks) and accel.attr_t is not None:
+            if not resident_fits(accel, with_attrs=True):
+                return None
+            fn = packet_closest_hit_tiled
+        else:
+            return None
         return partial(
-            packet_closest_hit_tiled,
+            fn,
             accel,
             t_min=cfg.t_min,
             t_max=cfg.t_max,
@@ -258,20 +271,25 @@ class PacketBvhIntrs(IntrsHandler):
 
     def intersect_tiled_anyhit_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
+            SegmentedTriChunks,
             TriChunks,
+            packet_closest_hit_segmented_tiled,
             packet_closest_hit_tiled,
             resident_fits,
         )
 
-        if not (isinstance(accel, TriChunks) and resident_fits(accel)):
-            # Beyond-VMEM tables (streaming_mode="dma" builds) have no
-            # resident any-hit entry.
-            return None
         kwargs = {}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
+        if isinstance(accel, SegmentedTriChunks):
+            fn = packet_closest_hit_segmented_tiled  # OR-merged blocked
+        elif isinstance(accel, TriChunks) and resident_fits(accel):
+            fn = packet_closest_hit_tiled
+        else:
+            # The DMA-streaming table has no resident any-hit entry.
+            return None
         return partial(
-            packet_closest_hit_tiled,
+            fn,
             accel,
             t_min=cfg.t_min,
             t_max=cfg.t_max,

@@ -84,6 +84,86 @@ def _hit_normal(C, o, d, t):
     return (hx, hy, hz), (nx * rn, ny * rn, nz * rn)
 
 
+def _pre_subgroup(
+    g0,
+    rows_ref, pay_ref, t_ref, pid_ref, lights_ref,
+    sh_refs, cap_refs, next_ref,
+    k: int,
+    emit_next: bool,
+):
+    """One subgroup of the shade_pre computation (shadow payload/cap
+    construction + reflection continuation); shared by the standalone
+    pre kernel and the fused bounce kernel."""
+
+    def compute():
+        C = lambda c: rows_ref[c, pl.ds(g0, SUBGROUP), :]
+        o = tuple(pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3))
+        d = tuple(
+            pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3, 6)
+        )
+        t = t_ref[pl.ds(g0, SUBGROUP), :]
+        pid = pid_ref[pl.ds(g0, SUBGROUP), :]
+        (hx, hy, hz), (nx, ny, nz) = _hit_normal(C, o, d, t)
+
+        for li in range(k):
+            lx = lights_ref[li, 0]
+            ly = lights_ref[li, 1]
+            lz = lights_ref[li, 2]
+            ddx, ddy, ddz = lx - hx, ly - hy, lz - hz
+            s = ddx * ddx + ddy * ddy + ddz * ddz
+            dist = jnp.sqrt(s)
+            inv = jax.lax.rsqrt(s)
+            ux, uy, uz = ddx * inv, ddy * inv, ddz * inv
+            side = ux * nx + uy * ny + uz * nz
+            off = jnp.where(side < 0.0, jnp.float32(-0.001), jnp.float32(0.001))
+            sh_refs[li][0, pl.ds(g0, SUBGROUP), :] = hx + off * nx
+            sh_refs[li][1, pl.ds(g0, SUBGROUP), :] = hy + off * ny
+            sh_refs[li][2, pl.ds(g0, SUBGROUP), :] = hz + off * nz
+            sh_refs[li][3, pl.ds(g0, SUBGROUP), :] = ux
+            sh_refs[li][4, pl.ds(g0, SUBGROUP), :] = uy
+            sh_refs[li][5, pl.ds(g0, SUBGROUP), :] = uz
+            sh_refs[li][6, pl.ds(g0, SUBGROUP), :] = pid
+            # Row 7: per-ray occlusion bound for the any-hit shadow
+            # kernel (closest-hit kernels ignore it).
+            sh_refs[li][7, pl.ds(g0, SUBGROUP), :] = dist
+            cap_refs[li][pl.ds(g0, SUBGROUP), :] = dist
+
+        if emit_next:
+            # reflect(d, n) = d - 2 dot(d, n) n, normalized
+            # (compute.wgsl:267-276).
+            dx, dy, dz = d
+            dn = dx * nx + dy * ny + dz * nz
+            rx = dx - 2.0 * dn * nx
+            ry = dy - 2.0 * dn * ny
+            rz = dz - 2.0 * dn * nz
+            rr = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+            rx, ry, rz = rx * rr, ry * rr, rz * rr
+            rside = rx * nx + ry * ny + rz * nz
+            roff = jnp.where(
+                rside < 0.0, jnp.float32(-0.001), jnp.float32(0.001)
+            )
+            next_ref[0, pl.ds(g0, SUBGROUP), :] = hx + roff * nx
+            next_ref[1, pl.ds(g0, SUBGROUP), :] = hy + roff * ny
+            next_ref[2, pl.ds(g0, SUBGROUP), :] = hz + roff * nz
+            next_ref[3, pl.ds(g0, SUBGROUP), :] = rx
+            next_ref[4, pl.ds(g0, SUBGROUP), :] = ry
+            next_ref[5, pl.ds(g0, SUBGROUP), :] = rz
+            next_ref[6, pl.ds(g0, SUBGROUP), :] = jnp.zeros_like(rx)
+            next_ref[7, pl.ds(g0, SUBGROUP), :] = jnp.zeros_like(rx)
+
+    def dead():
+        z8 = jnp.zeros((SUBGROUP, t_ref.shape[1]), dtype=jnp.float32)
+        for li in range(k):
+            for c in range(8):
+                sh_refs[li][c, pl.ds(g0, SUBGROUP), :] = z8
+            cap_refs[li][pl.ds(g0, SUBGROUP), :] = z8
+        if emit_next:
+            for c in range(8):
+                next_ref[c, pl.ds(g0, SUBGROUP), :] = z8
+
+    return compute, dead
+
+
 def _shade_pre_kernel(
     live_ref,  # SMEM [T // SUBGROUP] int32 (scalar prefetch)
     rows_ref,  # VMEM (32, G, r): gathered shade-table, component-major
@@ -103,75 +183,10 @@ def _shade_pre_kernel(
 
     def body(sg, _):
         g0 = sg * SUBGROUP
-
-        def compute():
-            C = lambda c: rows_ref[c, pl.ds(g0, SUBGROUP), :]
-            o = tuple(pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3))
-            d = tuple(
-                pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3, 6)
-            )
-            t = t_ref[pl.ds(g0, SUBGROUP), :]
-            pid = pid_ref[pl.ds(g0, SUBGROUP), :]
-            (hx, hy, hz), (nx, ny, nz) = _hit_normal(C, o, d, t)
-
-            for li in range(k):
-                lx = lights_ref[li, 0]
-                ly = lights_ref[li, 1]
-                lz = lights_ref[li, 2]
-                ddx, ddy, ddz = lx - hx, ly - hy, lz - hz
-                s = ddx * ddx + ddy * ddy + ddz * ddz
-                dist = jnp.sqrt(s)
-                inv = jax.lax.rsqrt(s)
-                ux, uy, uz = ddx * inv, ddy * inv, ddz * inv
-                side = ux * nx + uy * ny + uz * nz
-                off = jnp.where(side < 0.0, jnp.float32(-0.001), jnp.float32(0.001))
-                sh_refs[li][0, pl.ds(g0, SUBGROUP), :] = hx + off * nx
-                sh_refs[li][1, pl.ds(g0, SUBGROUP), :] = hy + off * ny
-                sh_refs[li][2, pl.ds(g0, SUBGROUP), :] = hz + off * nz
-                sh_refs[li][3, pl.ds(g0, SUBGROUP), :] = ux
-                sh_refs[li][4, pl.ds(g0, SUBGROUP), :] = uy
-                sh_refs[li][5, pl.ds(g0, SUBGROUP), :] = uz
-                sh_refs[li][6, pl.ds(g0, SUBGROUP), :] = pid
-                # Row 7: per-ray occlusion bound for the any-hit shadow
-                # kernel (closest-hit kernels ignore it).
-                sh_refs[li][7, pl.ds(g0, SUBGROUP), :] = dist
-                cap_refs[li][pl.ds(g0, SUBGROUP), :] = dist
-
-            if emit_next:
-                # reflect(d, n) = d - 2 dot(d, n) n, normalized
-                # (compute.wgsl:267-276).
-                dx, dy, dz = d
-                dn = dx * nx + dy * ny + dz * nz
-                rx = dx - 2.0 * dn * nx
-                ry = dy - 2.0 * dn * ny
-                rz = dz - 2.0 * dn * nz
-                rr = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
-                rx, ry, rz = rx * rr, ry * rr, rz * rr
-                rside = rx * nx + ry * ny + rz * nz
-                roff = jnp.where(
-                    rside < 0.0, jnp.float32(-0.001), jnp.float32(0.001)
-                )
-                next_ref[0, pl.ds(g0, SUBGROUP), :] = hx + roff * nx
-                next_ref[1, pl.ds(g0, SUBGROUP), :] = hy + roff * ny
-                next_ref[2, pl.ds(g0, SUBGROUP), :] = hz + roff * nz
-                next_ref[3, pl.ds(g0, SUBGROUP), :] = rx
-                next_ref[4, pl.ds(g0, SUBGROUP), :] = ry
-                next_ref[5, pl.ds(g0, SUBGROUP), :] = rz
-                next_ref[6, pl.ds(g0, SUBGROUP), :] = jnp.zeros_like(rx)
-                next_ref[7, pl.ds(g0, SUBGROUP), :] = jnp.zeros_like(rx)
-
-        def dead():
-            z8 = jnp.zeros(
-                (SUBGROUP, t_ref.shape[1]), dtype=jnp.float32
-            )
-            for li in range(k):
-                for c in range(8):
-                    sh_refs[li][c, pl.ds(g0, SUBGROUP), :] = z8
-                cap_refs[li][pl.ds(g0, SUBGROUP), :] = z8
-            if emit_next:
-                for c in range(8):
-                    next_ref[c, pl.ds(g0, SUBGROUP), :] = z8
-
+        compute, dead = _pre_subgroup(
+            g0, rows_ref, pay_ref, t_ref, pid_ref, lights_ref,
+            sh_refs, cap_refs, next_ref, k, emit_next,
+        )
         jax.lax.cond(live_ref[sg0 + sg] > 0, compute, dead)
         return 0
 
@@ -187,6 +202,10 @@ def _shade_post_kernel(
     sh_t_ref,  # VMEM (k, G, r): shadow hit t per light — or, in
     # blocked_mode, the any-hit kernel's blocked mask as f32
     sh_id_ref,  # VMEM (k, G, r) f32: shadow hit prim per light
+    cap_ref,  # VMEM (k, G, r) f32: shade_pre's light distances — THE
+    # occlusion bound; reused here so the closest-hit shadow verdict
+    # compares against the same value the any-hit kernel capped with
+    # (no cross-kernel FMA-contraction drift)
     lights_ref,  # SMEM (k, 4)
     out_ref,  # VMEM (3, G, r): color contribution
     *,
@@ -201,82 +220,239 @@ def _shade_post_kernel(
 
     def body(sg, _):
         g0 = sg * SUBGROUP
-
-        def compute():
-            C = lambda c: rows_ref[c, pl.ds(g0, SUBGROUP), :]
-            o = tuple(pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3))
-            d = tuple(
-                pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3, 6)
-            )
-            t = t_ref[pl.ds(g0, SUBGROUP), :]
-            active = active_ref[pl.ds(g0, SUBGROUP), :] > 0.0
-            (hx, hy, hz), (nx, ny, nz) = _hit_normal(C, o, d, t)
-            dx, dy, dz = d
-            spec_pow = C(24)
-
-            diffuse = jnp.zeros_like(t)
-            spec = jnp.zeros_like(t)
-            for li in range(k):
-                lx = lights_ref[li, 0]
-                ly = lights_ref[li, 1]
-                lz = lights_ref[li, 2]
-                ls = lights_ref[li, 3]
-                ddx, ddy, ddz = lx - hx, ly - hy, lz - hz
-                s = ddx * ddx + ddy * ddy + ddz * ddz
-                inv = jax.lax.rsqrt(s)
-                ux, uy, uz = ddx * inv, ddy * inv, ddz * inv
-                if blocked_mode:
-                    # The any-hit kernel already applied the full
-                    # occlusion predicate per ray.
-                    shadowed = sh_t_ref[li, pl.ds(g0, SUBGROUP), :] > 0.0
-                else:
-                    dist = jnp.sqrt(s)
-                    sh_t = sh_t_ref[li, pl.ds(g0, SUBGROUP), :]
-                    sh_id = sh_id_ref[li, pl.ds(g0, SUBGROUP), :]
-                    shadowed = (
-                        (sh_id != 0.0)
-                        & (sh_t < t_max)
-                        & (sh_t > t_min)
-                        & (sh_t < dist)
-                    )
-                lit = (~shadowed) & (ls > 0.0)
-                # diffuse (compute.wgsl:160-166)
-                dterm = ls * jnp.maximum(0.0, ux * nx + uy * ny + uz * nz)
-                # specular via reflect(-u, n) (compute.wgsl:168-175)
-                eux, euy, euz = -ux, -uy, -uz
-                den = eux * nx + euy * ny + euz * nz
-                rx = eux - 2.0 * den * nx
-                ry = euy - 2.0 * den * ny
-                rz = euz - 2.0 * den * nz
-                sdot = (-rx) * dx + (-ry) * dy + (-rz) * dz
-                sterm = (
-                    jnp.power(jnp.maximum(0.0, sdot), spec_pow) * ls
-                )
-                diffuse = diffuse + jnp.where(lit, dterm, 0.0)
-                spec = spec + jnp.where(lit, sterm, 0.0)
-
-            alb_x = C(21)
-            alb_y = C(22)
-            da = diffuse * alb_x
-            sa = spec * alb_y
-            scale = (
-                jnp.float32(1.0) if first_bounce else C(23)
-            )  # albedo.z attenuation for bounce > 0 (compute.wgsl:258-265)
-            for c in range(3):
-                contrib = (C(18 + c) * da + sa) * scale
-                out_ref[c, pl.ds(g0, SUBGROUP), :] = jnp.where(
-                    active, contrib, 0.0
-                )
-
-        def dead():
-            z8 = jnp.zeros((SUBGROUP, t_ref.shape[1]), dtype=jnp.float32)
-            for c in range(3):
-                out_ref[c, pl.ds(g0, SUBGROUP), :] = z8
-
+        compute, dead = _post_subgroup(
+            g0, rows_ref, pay_ref, t_ref, active_ref, sh_t_ref,
+            sh_id_ref, cap_ref, lights_ref, out_ref,
+            k, first_bounce, t_min, t_max, blocked_mode,
+        )
         jax.lax.cond(live_ref[sg0 + sg] > 0, compute, dead)
         return 0
 
     jax.lax.fori_loop(0, TILE_GROUP // SUBGROUP, body, 0)
+
+
+def _post_subgroup(
+    g0,
+    rows_ref, pay_ref, t_ref, active_ref, sh_t_ref, sh_id_ref, cap_ref,
+    lights_ref, out_ref,
+    k: int,
+    first_bounce: bool,
+    t_min: float,
+    t_max: float,
+    blocked_mode: bool,
+):
+    """One subgroup of the shade_post computation (shadow verdicts +
+    Blinn/Phong accumulation); shared by the standalone post kernel and
+    the fused bounce kernel."""
+
+    def compute():
+        C = lambda c: rows_ref[c, pl.ds(g0, SUBGROUP), :]
+        o = tuple(pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3))
+        d = tuple(
+            pay_ref[c, pl.ds(g0, SUBGROUP), :] for c in range(3, 6)
+        )
+        t = t_ref[pl.ds(g0, SUBGROUP), :]
+        active = active_ref[pl.ds(g0, SUBGROUP), :] > 0.0
+        (hx, hy, hz), (nx, ny, nz) = _hit_normal(C, o, d, t)
+        dx, dy, dz = d
+        spec_pow = C(24)
+
+        diffuse = jnp.zeros_like(t)
+        spec = jnp.zeros_like(t)
+        for li in range(k):
+            lx = lights_ref[li, 0]
+            ly = lights_ref[li, 1]
+            lz = lights_ref[li, 2]
+            ls = lights_ref[li, 3]
+            ddx, ddy, ddz = lx - hx, ly - hy, lz - hz
+            s = ddx * ddx + ddy * ddy + ddz * ddz
+            inv = jax.lax.rsqrt(s)
+            ux, uy, uz = ddx * inv, ddy * inv, ddz * inv
+            if blocked_mode:
+                # The any-hit kernel already applied the full
+                # occlusion predicate per ray.
+                shadowed = sh_t_ref[li, pl.ds(g0, SUBGROUP), :] > 0.0
+            else:
+                dist = cap_ref[li, pl.ds(g0, SUBGROUP), :]
+                sh_t = sh_t_ref[li, pl.ds(g0, SUBGROUP), :]
+                sh_id = sh_id_ref[li, pl.ds(g0, SUBGROUP), :]
+                shadowed = (
+                    (sh_id != 0.0)
+                    & (sh_t < t_max)
+                    & (sh_t > t_min)
+                    & (sh_t < dist)
+                )
+            lit = (~shadowed) & (ls > 0.0)
+            # diffuse (compute.wgsl:160-166)
+            dterm = ls * jnp.maximum(0.0, ux * nx + uy * ny + uz * nz)
+            # specular via reflect(-u, n) (compute.wgsl:168-175)
+            eux, euy, euz = -ux, -uy, -uz
+            den = eux * nx + euy * ny + euz * nz
+            rx = eux - 2.0 * den * nx
+            ry = euy - 2.0 * den * ny
+            rz = euz - 2.0 * den * nz
+            sdot = (-rx) * dx + (-ry) * dy + (-rz) * dz
+            sterm = (
+                jnp.power(jnp.maximum(0.0, sdot), spec_pow) * ls
+            )
+            diffuse = diffuse + jnp.where(lit, dterm, 0.0)
+            spec = spec + jnp.where(lit, sterm, 0.0)
+
+        alb_x = C(21)
+        alb_y = C(22)
+        da = diffuse * alb_x
+        sa = spec * alb_y
+        scale = (
+            jnp.float32(1.0) if first_bounce else C(23)
+        )  # albedo.z attenuation for bounce > 0 (compute.wgsl:258-265)
+        for c in range(3):
+            contrib = (C(18 + c) * da + sa) * scale
+            out_ref[c, pl.ds(g0, SUBGROUP), :] = jnp.where(
+                active, contrib, 0.0
+            )
+
+    def dead():
+        z8 = jnp.zeros((SUBGROUP, t_ref.shape[1]), dtype=jnp.float32)
+        for c in range(3):
+            out_ref[c, pl.ds(g0, SUBGROUP), :] = z8
+
+    return compute, dead
+
+
+def _shade_bounce_kernel(
+    live_ref,  # SMEM [2, T // SUBGROUP] int32: row 0 = bounce b live,
+    # row 1 = bounce b+1 live (scalar prefetch)
+    rows_ref,  # post: (32, G, r) bounce b rows
+    pay_ref,  # post: (8, G, r) bounce b rays
+    t_ref,  # post: (G, r)
+    active_ref,  # post: (G, r) f32
+    sh_t_ref,  # post: (k, G, r)
+    sh_id_ref,  # post: (k, G, r)
+    cap_ref,  # post: (k, G, r)
+    rows2_ref,  # pre: (32, G, r) bounce b+1 rows
+    pay2_ref,  # pre: (8, G, r) bounce b+1 rays
+    t2_ref,  # pre: (G, r)
+    pid2_ref,  # pre: (G, r) f32
+    lights_ref,  # SMEM (k, 4)
+    *out_refs,  # color (3,G,r), k shadow pays, k caps, [next (8,G,r)]
+    num_lights: int,
+    first_bounce: bool,
+    t_min: float,
+    t_max: float,
+    blocked_mode: bool,
+    emit_next: bool,
+):
+    """Fused shade_post(bounce b) + shade_pre(bounce b+1).
+
+    The two halves share no data (post consumes bounce b's shadow
+    results, pre consumes bounce b+1's hit) but both become available
+    after the same intersect call, so fusing them halves the per-bounce
+    shading kernel launches — the per-frame fixed cost that dominates
+    small frames (VERDICT round-2 item 2; the blank handler measured
+    2.9-3.9 ms/frame of pure dispatch floor at 384x288)."""
+    k = num_lights
+    color_ref = out_refs[0]
+    sh_refs = out_refs[1 : 1 + k]
+    cap_out_refs = out_refs[1 + k : 1 + 2 * k]
+    next_ref = out_refs[1 + 2 * k] if emit_next else None
+    sg0 = pl.program_id(0) * (TILE_GROUP // SUBGROUP)
+
+    def body(sg, _):
+        g0 = sg * SUBGROUP
+        post_c, post_d = _post_subgroup(
+            g0, rows_ref, pay_ref, t_ref, active_ref, sh_t_ref,
+            sh_id_ref, cap_ref, lights_ref, color_ref,
+            k, first_bounce, t_min, t_max, blocked_mode,
+        )
+        jax.lax.cond(live_ref[0, sg0 + sg] > 0, post_c, post_d)
+        pre_c, pre_d = _pre_subgroup(
+            g0, rows2_ref, pay2_ref, t2_ref, pid2_ref, lights_ref,
+            sh_refs, cap_out_refs, next_ref, k, emit_next,
+        )
+        jax.lax.cond(live_ref[1, sg0 + sg] > 0, pre_c, pre_d)
+        return 0
+
+    jax.lax.fori_loop(0, TILE_GROUP // SUBGROUP, body, 0)
+
+
+def shade_bounce(
+    rows,  # [32, T, r] bounce b rows
+    payload,  # [8, T, r] bounce b rays
+    t,  # [T, r]
+    active_f,  # [T, r] f32
+    sh_t,  # [k, T, r] (or blocked mask in blocked_mode)
+    sh_id_f,  # [k, T, r]
+    caps,  # [k, T, r]
+    rows2,  # [32, T, r] bounce b+1 rows
+    payload2,  # [8, T, r] bounce b+1 rays
+    t2,  # [T, r]
+    pid2_f,  # [T, r] f32
+    live_sg2,  # [2, T // SUBGROUP] int32 (bounce b row 0, b+1 row 1)
+    lights,  # [k, 4]
+    first_bounce: bool,
+    t_min: float,
+    t_max: float,
+    emit_next: bool,
+    interpret: bool = False,
+    blocked_mode: bool = False,
+):
+    """-> (color contribution [3,T,r] for bounce b,
+    shadow payloads [k][8,T,r], caps [k][T,r], next [8,T,r]|None
+    for bounce b+1) — one kernel instead of post + pre."""
+    k = int(lights.shape[0])
+    t_tiles, r = t.shape
+    (
+        t_groups, rows_spec, pay_spec, tr_spec, lights_spec, ktr_spec
+    ) = _grid_specs(t_tiles, r, k)
+    color_spec = pl.BlockSpec((3, TILE_GROUP, r), lambda t, *_: (0, t, 0))
+    out_shapes = (
+        [jax.ShapeDtypeStruct((3, t_tiles, r), jnp.float32)]
+        + [jax.ShapeDtypeStruct((8, t_tiles, r), jnp.float32)] * k
+        + [jax.ShapeDtypeStruct((t_tiles, r), jnp.float32)] * k
+        + (
+            [jax.ShapeDtypeStruct((8, t_tiles, r), jnp.float32)]
+            if emit_next
+            else []
+        )
+    )
+    out_specs = (
+        [color_spec]
+        + [pay_spec] * k
+        + [tr_spec] * k
+        + ([pay_spec] if emit_next else [])
+    )
+    kernel = partial(
+        _shade_bounce_kernel,
+        num_lights=k,
+        first_bounce=first_bounce,
+        t_min=t_min,
+        t_max=t_max,
+        blocked_mode=blocked_mode,
+        emit_next=emit_next,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_groups,),
+        in_specs=[
+            rows_spec, pay_spec, tr_spec, tr_spec, ktr_spec, ktr_spec,
+            ktr_spec, rows_spec, pay_spec, tr_spec, tr_spec, lights_spec,
+        ],
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        live_sg2, rows, payload, t, active_f, sh_t, sh_id_f, caps,
+        rows2, payload2, t2, pid2_f, lights,
+    )
+    color = outs[0]
+    sh = outs[1 : 1 + k]
+    cap_out = outs[1 + k : 1 + 2 * k]
+    nxt = outs[1 + 2 * k] if emit_next else None
+    return color, sh, cap_out, nxt
 
 
 def _grid_specs(t_tiles: int, r: int, k: int):
@@ -344,6 +520,7 @@ def shade_post(
     active_f,  # [T, r] f32 (1.0 = live)
     sh_t,  # [k, T, r] — or the any-hit blocked mask (f32) in blocked_mode
     sh_id_f,  # [k, T, r] f32 (ignored in blocked_mode)
+    caps,  # [k, T, r] f32 shade_pre's light distances (occlusion bound)
     live_sg,  # [T // SUBGROUP] int32
     lights,  # [k, 4]
     first_bounce: bool,
@@ -371,7 +548,7 @@ def shade_post(
         grid=(t_groups,),
         in_specs=[
             rows_spec, pay_spec, tr_spec, tr_spec, ktr_spec, ktr_spec,
-            lights_spec,
+            ktr_spec, lights_spec,
         ],
         out_specs=pl.BlockSpec((3, TILE_GROUP, r), lambda t, *_: (0, t, 0)),
     )
@@ -380,4 +557,4 @@ def shade_post(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, t_tiles, r), jnp.float32),
         interpret=interpret,
-    )(live_sg, rows, payload, t, active_f, sh_t, sh_id_f, lights)
+    )(live_sg, rows, payload, t, active_f, sh_t, sh_id_f, caps, lights)

@@ -549,6 +549,7 @@ def trace_tiled(
     interpret: bool = False,
     intersect_rows_fn: TiledIntersectFn | None = None,
     intersect_anyhit_fn: TiledIntersectFn | None = None,
+    fuse_bounce: bool = True,
 ) -> jax.Array:
     """The bounce loop over component-major ray tiles -> color [3, T, r].
 
@@ -561,14 +562,27 @@ def trace_tiled(
     bounce loop runs with ZERO XLA row gathers; closest-hit and shadow
     batches are then traced as separate calls (shadow rays don't need
     rows).  Without it, rows come from one [N, 32] gather per bounce
-    and the shadow + next-bounce batch is fused into one call."""
+    and the shadow + next-bounce batch is fused into one call.
+
+    ``fuse_bounce`` runs shade_post(b) and shade_pre(b+1) as ONE fused
+    kernel (both become computable after the same intersect call),
+    cutting the per-bounce shading launches from 2 to ~1 — the
+    dispatch floor that dominates small frames.  Identical math either
+    way (the fused kernel reuses the same subgroup bodies)."""
     from rt_rs_tpu.ops.pallas.shade_tile import (
         SUBGROUP,
+        shade_bounce,
         shade_post,
         shade_pre,
     )
 
-    assert scene.no_negative_materials
+    if not scene.no_negative_materials:
+        # Must survive python -O: shade_post's pid != 0 shadow test
+        # would silently treat negative-material prims as occluders.
+        raise ValueError(
+            "trace_tiled requires scene.no_negative_materials; use the "
+            "XLA trace() path for scenes with negative materials"
+        )
     t_tiles, r = valid.shape
     num_lights = scene.num_lights
     use_headlight = cfg.camera_light_source > 0.0
@@ -602,22 +616,20 @@ def trace_tiled(
     active = valid
     table = scene.shade_table
     emit = intersect_rows_fn is not None
-    if emit:
-        t, pid, rows = intersect_rows_fn(payload, valid)
-    else:
-        t, pid = intersect_fn(payload, valid)
 
-    for bounce in range(cfg.bounces):
+    def liveness(t, pid, active, rows_k):
+        """Per-bounce hit rows + validity update (shared by all
+        bounces).  With emit, rows came from the kernel's attribute
+        pass — for rays dead since an earlier bounce they hold the
+        actual hit's row (not row 0); every consumer masks by
+        ``active``, so the difference is unobservable.  Without, ONE
+        row gather per bounce (its transpose into component-major
+        fuses in for free — measured, PERF.md)."""
         pid = jnp.where(active, pid, 0)
         if emit:
-            # rows came from the kernel's attribute pass.  For rays
-            # dead since an earlier bounce they hold the actual hit's
-            # row (not row 0) — every consumer masks by `active`, so
-            # the difference is unobservable.
+            rows = rows_k
             valid_b = (pid != 0) & (t < cfg.t_max) & (t > cfg.t_min)
         else:
-            # ONE row gather; the transpose into component-major fuses
-            # into the gather for free (measured, PERF.md).
             rows = table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
             valid_b = (
                 (rows[25] != -1.0) & (t < cfg.t_max) & (t > cfg.t_min)
@@ -628,12 +640,25 @@ def trace_tiled(
             .any(axis=1)
             .astype(jnp.int32)
         )
+        return pid, rows, active, live_sg
 
+    rows_k = None
+    if emit:
+        t, pid, rows_k = intersect_rows_fn(payload, valid)
+    else:
+        t, pid = intersect_fn(payload, valid)
+    pid, rows, active, live_sg = liveness(t, pid, active, rows_k)
+
+    # Bounce 0's shadow/reflection payloads (standalone pre; every
+    # later pre fuses into the previous bounce's post when
+    # fuse_bounce).
+    sh_pays, caps, nxt = shade_pre(
+        rows, payload, t, pid.astype(jnp.float32), live_sg, lights,
+        emit_next=cfg.bounces > 1, interpret=interpret,
+    )
+
+    for bounce in range(cfg.bounces):
         last = bounce + 1 >= cfg.bounces
-        sh_pays, caps, nxt = shade_pre(
-            rows, payload, t, pid.astype(jnp.float32), live_sg, lights,
-            emit_next=not last, interpret=interpret,
-        )
 
         if emit:
             # Shadow rays need no rows: lean call — any-hit when the
@@ -656,7 +681,7 @@ def trace_tiled(
                 sh_id = sid.reshape(k, t_tiles, r)
                 blocked_mode = False
             if not last:
-                t2, pid2, rows2 = intersect_rows_fn(nxt, active)
+                t2, pid2, rows2_k = intersect_rows_fn(nxt, active)
         else:
             pay_cat = jnp.concatenate(
                 list(sh_pays) + ([nxt] if not last else []), axis=1
@@ -676,23 +701,51 @@ def trace_tiled(
             sh_t = st[: k * t_tiles].reshape(k, t_tiles, r)
             sh_id = sid[: k * t_tiles].reshape(k, t_tiles, r)
             blocked_mode = False
+            if not last:
+                t2 = st[k * t_tiles :]
+                pid2 = sid[k * t_tiles :]
+                rows2_k = None
 
-        contrib = shade_post(
-            rows, payload, t, active.astype(jnp.float32),
-            sh_t, sh_id.astype(jnp.float32), live_sg, lights,
-            first_bounce=bounce == 0,
-            t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
-            blocked_mode=blocked_mode,
-        )
-        color = color + contrib
-
-        if not last:
-            if emit:
-                t, pid, rows = t2, pid2, rows2
-            else:
-                t = st[k * t_tiles :]
-                pid = sid[k * t_tiles :]
-            payload = nxt
+        caps_st = jnp.stack(list(caps))
+        if last:
+            color = color + shade_post(
+                rows, payload, t, active.astype(jnp.float32),
+                sh_t, sh_id.astype(jnp.float32), caps_st,
+                live_sg, lights,
+                first_bounce=bounce == 0,
+                t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
+                blocked_mode=blocked_mode,
+            )
+            break
+        pid2, rows2, active2, live_sg2 = liveness(t2, pid2, active, rows2_k)
+        emit_next2 = bounce + 2 < cfg.bounces
+        if fuse_bounce:
+            contrib, sh_pays, caps, nxt2 = shade_bounce(
+                rows, payload, t, active.astype(jnp.float32),
+                sh_t, sh_id.astype(jnp.float32), caps_st,
+                rows2, nxt, t2, pid2.astype(jnp.float32),
+                jnp.stack([live_sg, live_sg2]), lights,
+                first_bounce=bounce == 0,
+                t_min=cfg.t_min, t_max=cfg.t_max,
+                emit_next=emit_next2, interpret=interpret,
+                blocked_mode=blocked_mode,
+            )
+            color = color + contrib
+        else:
+            color = color + shade_post(
+                rows, payload, t, active.astype(jnp.float32),
+                sh_t, sh_id.astype(jnp.float32), caps_st,
+                live_sg, lights,
+                first_bounce=bounce == 0,
+                t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
+                blocked_mode=blocked_mode,
+            )
+            sh_pays, caps, nxt2 = shade_pre(
+                rows2, nxt, t2, pid2.astype(jnp.float32), live_sg2,
+                lights, emit_next=emit_next2, interpret=interpret,
+            )
+        rows, payload, t, pid = rows2, nxt, t2, pid2
+        active, live_sg, nxt = active2, live_sg2, nxt2
 
     return color
 
@@ -710,6 +763,7 @@ def render_tiled(
     interpret: bool = False,
     intersect_rows_fn: TiledIntersectFn | None = None,
     intersect_anyhit_fn: TiledIntersectFn | None = None,
+    fuse_bounce: bool = True,
 ) -> jax.Array:
     """Full frame via the tiled path -> color [H, W, 3] float32.
 
@@ -721,6 +775,7 @@ def render_tiled(
         scene, intersect_fn, cfg, payload, valid, camera_pos,
         interpret=interpret, intersect_rows_fn=intersect_rows_fn,
         intersect_anyhit_fn=intersect_anyhit_fn,
+        fuse_bounce=fuse_bounce,
     )
     flat = color.reshape(3, -1)[:, :n_pixels].T  # [n_pixels, 3]
     if block is not None:

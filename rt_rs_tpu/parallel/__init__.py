@@ -54,12 +54,21 @@ def make_sharded_render(
     height: int,
     mesh: Mesh,
     with_metering: bool = True,
+    resolution=None,
+    force_rows: bool | None = None,
 ):
     """Build a jitted multi-chip render step.
 
     Returns ``fn(camera_pos, camera_at) -> (frame [H, W, 3],
     mean_luminance [])`` with the frame sharded over image bands on
     ``mesh`` and the luminance psum-reduced across devices.
+
+    Per band the step takes the SAME fast-path branches as the
+    single-chip ``Renderer._render_jit``: kernel-emitted rows +
+    any-hit shadows when the band is >= 400K pixels (``force_rows``
+    overrides the heuristic).  ``resolution`` (a
+    :class:`rt_rs_tpu.config.Resolution`) supplies the user's ``wg``
+    pixel-block tuning; default wg=16.
     """
     n_dev = mesh.devices.size
     if height % n_dev != 0:
@@ -79,15 +88,30 @@ def make_sharded_render(
         # replicate, rays are the data-parallel axis).
         intersect_t = handler.intersect_tiled_fn(accel, arrays, cfg)
         interp = _jax.default_backend() != "tpu"
+        # Fast-path parity with _render_jit: the heuristic applies to
+        # the PER-BAND pixel count (that is what each chip renders).
+        use_rows = (
+            width * rows_per_dev >= 400_000
+            if force_rows is None
+            else force_rows
+        )
+        rows_fn = None
+        anyhit_fn = None
+        if use_rows:
+            rows_fn = handler.intersect_tiled_rows_fn(accel, arrays, cfg)
+            if rows_fn is not None:
+                anyhit_fn = handler.intersect_tiled_anyhit_fn(
+                    accel, arrays, cfg
+                )
     else:
         intersect = handler.intersect_fn(accel, arrays, cfg)
 
     # Pixel-block packet order within each device's band (bit-identical
     # output, tighter packet frusta; see shade.camera_rays), sized to
-    # the handler's rays-per-tile.
+    # the handler's rays-per-tile, honoring the caller's wg hint.
     from rt_rs_tpu.config import Resolution
 
-    blk = Resolution().block(ray_tile)
+    blk = (resolution or Resolution()).block(ray_tile)
 
     def band_render(row0, camera_pos, camera_at):
         # row0: [1] per-device band start (sharded scalar).
@@ -99,6 +123,8 @@ def make_sharded_render(
             color = shade.trace_tiled(
                 arrays, intersect_t, cfg, payload, valid, camera_pos,
                 interpret=interp,
+                intersect_rows_fn=rows_fn,
+                intersect_anyhit_fn=anyhit_fn,
             )
             flat = color.reshape(3, -1)[:, :n_pixels].T
             band = shade.unblock_colors(flat, width, rows_per_dev, blk)

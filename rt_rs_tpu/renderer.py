@@ -44,7 +44,11 @@ from rt_rs_tpu.utils.sync import device_sync
 
 
 @partial(
-    jax.jit, static_argnames=("handler", "cfg", "width", "height", "block")
+    jax.jit,
+    static_argnames=(
+        "handler", "cfg", "width", "height", "block", "force_rows",
+        "fuse_bounce",
+    ),
 )
 def _render_jit(
     arrays: SceneArrays,
@@ -57,6 +61,8 @@ def _render_jit(
     width: int,
     height: int,
     block: tuple[int, int] | None,
+    force_rows: bool | None = None,
+    fuse_bounce: bool = True,
 ) -> jax.Array:
     if arrays.no_negative_materials:
         # Tiled frame path: rays stay in the packet kernel's
@@ -70,7 +76,10 @@ def _render_jit(
         # (PERF.md; 1080p 87 -> 76 ms, 384x288 would LOSE 9.4 -> 10.1).
         rows_fn = None
         anyhit_fn = None
-        if width * height >= 400_000:
+        use_rows = (
+            width * height >= 400_000 if force_rows is None else force_rows
+        )
+        if use_rows:
             rows_fn = handler.intersect_tiled_rows_fn(accel, arrays, cfg)
             if rows_fn is not None:
                 anyhit_fn = handler.intersect_tiled_anyhit_fn(
@@ -89,6 +98,7 @@ def _render_jit(
             interpret=jax.default_backend() != "tpu",
             intersect_rows_fn=rows_fn,
             intersect_anyhit_fn=anyhit_fn,
+            fuse_bounce=fuse_bounce,
         )
     # Scenes with real negative-material prims need the gather-based
     # shadow validity check — the XLA reference path.
@@ -110,8 +120,16 @@ class Renderer:
         handler_kwargs: dict[str, Any] | None = None,
         size: tuple[int, int] | None = None,
         block: tuple[int, int] | None | str = "auto",
+        force_rows: bool | None = None,
+        fuse_bounce: bool = True,
     ):
+        """``force_rows`` overrides the >= 400K-pixel heuristic for the
+        kernel-emitted-rows intersect branch (None = heuristic);
+        ``fuse_bounce=False`` disables the fused post+pre shading
+        kernel (A/B measurement knob)."""
         self.scene = scene
+        self.force_rows = force_rows
+        self.fuse_bounce = fuse_bounce
         self.config = config or Config()
         if isinstance(handler, IntrsHandler):
             self.handler = handler
@@ -137,7 +155,11 @@ class Renderer:
 
         self.camera = scene.camera
         self.camera_controller = scene.camera_controller
-        if tuple(self.camera.pos) == tuple(self.camera.at):
+        if tuple(self.camera.pos) == tuple(self.camera.at) and not getattr(
+            scene, "is_unloaded", False
+        ):
+            # (The unloaded placeholder scene renders black regardless —
+            # its NaN rays all miss the degenerate prim — so no warning.)
             # pos == at normalizes a zero vector into NaN ray
             # directions; NaNs defeat conservative culling, so frames
             # are both garbage AND silently ~5x slower (PERF.md).
@@ -164,6 +186,8 @@ class Renderer:
             width=self.width,
             height=self.height,
             block=self.block,
+            force_rows=self.force_rows,
+            fuse_bounce=self.fuse_bounce,
         )
         if block:
             device_sync(out)
@@ -248,8 +272,12 @@ class DynamicRenderer:
         size: tuple[int, int] | None = None,
         interpret: bool | None = None,
         refit: bool = False,
+        force_rows: bool | None = None,
     ):
-        """``refit=True`` freezes the Morton order at the rest pose and
+        """``force_rows`` overrides the >= 400K-pixel heuristic for the
+        kernel-emitted-rows branch (tests force it at tiny sizes).
+
+        ``refit=True`` freezes the Morton order at the rest pose and
         per-frame steps only recompute chunk bounds — a true
         refit-without-resort (the BASELINE "per-frame refit" config).
         A stale order only loosens culling (bounds are recomputed from
@@ -310,13 +338,36 @@ class DynamicRenderer:
                 nb=corner(vert_norm, 1),
                 nc=corner(vert_norm, 2),
             ).rebuild_shade_table()
+            # Kernel-emitted rows win only at >= 400K pixels (PERF.md
+            # crossover); the per-frame attr-table build is skipped
+            # below it.  Same VMEM cap as the static handlers.
+            from rt_rs_tpu.ops.pallas.packet_trace import (
+                MAX_VMEM_CHUNKS,
+                TRI_CHUNK,
+            )
+
+            n_tris = base.pa.shape[0] - 1
+            use_rows = (
+                (
+                    width * height >= 400_000
+                    if force_rows is None
+                    else force_rows
+                )
+                and base.no_negative_materials
+                and n_tris <= (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
+            )
             if refit:
-                accel = device_chunks(arrays.pa, arrays.pb, arrays.pc)
+                accel = device_chunks(
+                    arrays.pa, arrays.pb, arrays.pc,
+                    shade_rows=arrays.shade_table if use_rows else None,
+                )
             else:
-                accel, arrays = build_accel_device(arrays)
+                accel, arrays = build_accel_device(
+                    arrays, with_attrs=use_rows
+                )
             blk = self.config.resolution.block(DEFAULT_RAY_TILE)
             if arrays.no_negative_materials:
-                intersect = partial(
+                kern = partial(
                     packet_closest_hit_tiled,
                     accel,
                     t_min=cfg.t_min,
@@ -324,11 +375,15 @@ class DynamicRenderer:
                     eps=cfg.eps,
                     interpret=interpret,
                 )
+                rows_fn = partial(kern, emit_rows=True) if use_rows else None
+                anyhit_fn = partial(kern, any_hit=True) if use_rows else None
                 return shade.render_tiled(
-                    arrays, intersect, cfg, camera_pos, camera_at,
+                    arrays, kern, cfg, camera_pos, camera_at,
                     width, height,
                     ray_tile=DEFAULT_RAY_TILE, block=blk,
                     interpret=interpret,
+                    intersect_rows_fn=rows_fn,
+                    intersect_anyhit_fn=anyhit_fn,
                 )
             # Real negative-material prims need the gather-based shadow
             # validity check — the XLA reference path.

@@ -60,6 +60,13 @@ class Scene:
     mat_color: np.ndarray
     mat_albedo: np.ndarray
     mat_spec: np.ndarray
+    # The reference's ``Scene::Unloaded`` variant
+    # (``src/lib/scene/mod.rs:16-27``): the wasm app starts without a
+    # scene and renders the ``pack_unloaded`` placeholder until one is
+    # fetched.  Here the placeholder IS a scene (:meth:`unloaded`) and
+    # this flag marks it (serialization of an unloaded scene is an
+    # error, like the reference's ``unreachable!``).
+    is_unloaded: bool = False
 
     # ------------------------------------------------------------------
     # Construction
@@ -83,6 +90,26 @@ class Scene:
             mat_albedo=np.zeros((0, 3), dtype=np.float32),
             mat_spec=np.zeros((0,), dtype=np.float32),
         )
+
+    @classmethod
+    def unloaded(cls) -> "Scene":
+        """The ``Scene::pack_unloaded`` placeholder
+        (``src/lib/scene/mod.rs:115-131``): one degenerate prim over a
+        single zero vertex, one zero-strength light, one zero material —
+        renders black, never errors, and carries ``is_unloaded=True`` so
+        viewers know no real scene is loaded yet."""
+        scene = cls.empty()
+        scene.prim_indices = np.zeros((1, 3), dtype=np.uint32)
+        scene.prim_material = np.zeros((1,), dtype=np.int32)
+        scene.vert_pos = np.zeros((1, 3), dtype=np.float32)
+        scene.vert_norm = np.zeros((1, 3), dtype=np.float32)
+        scene.light_pos = np.zeros((1, 3), dtype=np.float32)
+        scene.light_strength = np.zeros((1,), dtype=np.float32)
+        scene.mat_color = np.zeros((1, 3), dtype=np.float32)
+        scene.mat_albedo = np.zeros((1, 3), dtype=np.float32)
+        scene.mat_spec = np.zeros((1,), dtype=np.float32)
+        scene.is_unloaded = True
+        return scene
 
     @property
     def num_prims(self) -> int:
@@ -130,6 +157,10 @@ class Scene:
         return scene
 
     def to_json(self) -> dict[str, Any]:
+        if self.is_unloaded:
+            # Serializing Unloaded is unreachable!() in the reference
+            # (scene/mod.rs:88).
+            raise SceneFormatError("cannot serialize an unloaded scene")
         return {
             "camera": {
                 "pos": [f32_json(x) for x in self.camera.pos],

@@ -1,0 +1,120 @@
+"""``debug_tree`` — recursive BVH / RF-BVH tree dumps.
+
+The analogue of the reference's manual-inspection printers
+``debug_aabb`` / ``debug_rf_aabb`` (``src/lib/handlers/rf.rs:246-344``):
+an indented preorder walk printing ``Node [min] [max]`` for interior
+nodes and ``Leaf [min] [max]: [items]`` for leaves, in the same
+``{:.3}`` float format.  The RF dump decodes the packed 16-byte records
+(f16 bounds, tagged children, 8-slot leaf payloads) so the packed tree
+can be eyeballed against the plain one — the reference's RF-vs-plain
+validation workflow.
+
+Usage::
+
+    python -m rt_rs_tpu.tools.debug_tree --scene scenes/teatime.json
+    python -m rt_rs_tpu.tools.debug_tree --bvh scenes/teatime.bvh.json
+    python -m rt_rs_tpu.tools.debug_tree --scene ... --rf   # packed form
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import TextIO
+
+
+def _fmt(vals) -> str:
+    return "[{:.3f}, {:.3f}, {:.3f}]".format(*(float(v) for v in vals))
+
+
+def debug_aabb(data, out: TextIO = sys.stdout) -> None:
+    """Print a flattened plain BVH (``debug_aabb``, rf.rs:247-290)."""
+
+    def inner(curr: int, indent: int) -> None:
+        lo = _fmt(data.bounds_min[curr])
+        hi = _fmt(data.bounds_max[curr])
+        count = int(data.item_count[curr])
+        if count > 0:
+            i0 = int(data.item_idx[curr])
+            items = [int(x) for x in data.indices[i0 : i0 + count]]
+            out.write(f"{' ' * indent} Leaf {lo} {hi}: {items}\n")
+        else:
+            out.write(f"{' ' * indent} Node {lo} {hi}\n")
+            inner(int(data.fst[curr]), indent + 1)
+            inner(int(data.snd[curr]), indent + 1)
+
+    # Iterative depth guard: bundled scenes are < 10K nodes but Python's
+    # recursion limit could bite on degenerate trees.
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), data.num_nodes + 64))
+    inner(0, 0)
+
+
+def debug_rf_aabb(rf, out: TextIO = sys.stdout) -> None:
+    """Print a packed RF-BVH (``debug_rf_aabb``, rf.rs:292-344)."""
+    from rt_rs_tpu.bvh.rf import unpack_rf
+
+    d = unpack_rf(rf)
+
+    def inner(curr: int, indent: int) -> None:
+        lo = _fmt(d["bmin"][curr])
+        hi = _fmt(d["bmax"][curr])
+        if d["is_leaf"][curr]:
+            items = [int(x) for x in d["leaf_prims"][curr] if x != 0]
+            out.write(f"{' ' * indent} Leaf {lo} {hi}: {items}\n")
+        else:
+            out.write(f"{' ' * indent} Node {lo} {hi}\n")
+            inner(int(d["fst"][curr]), indent + 1)
+            inner(int(d["snd"][curr]), indent + 1)
+
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), rf.num_records + 64))
+    inner(0, 0)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rt_rs_tpu.tools.debug_tree")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--scene", help="scene JSON: build the BVH, then dump")
+    src.add_argument("--bvh", help="precomputed *.bvh.json checkpoint")
+    p.add_argument(
+        "--rf", action="store_true",
+        help="dump the packed RF record tree instead of the plain one",
+    )
+    p.add_argument("--eps", type=float, default=0.02)
+    p.add_argument(
+        "--item-count", type=int, default=None,
+        help="builder leaf target (default: 2 plain / 4 RF, like the "
+        "reference handlers)",
+    )
+    args = p.parse_args(argv)
+
+    from rt_rs_tpu.bvh import BvhData
+
+    scene = None
+    if args.bvh:
+        data = BvhData.load(args.bvh)
+    else:
+        from rt_rs_tpu.bvh import build_bvh
+        from rt_rs_tpu.scene import Scene
+
+        scene = Scene.load(args.scene)
+        target = args.item_count or (4 if args.rf else 2)
+        data = build_bvh(scene, eps=args.eps, target_item_count=target)
+
+    if args.rf:
+        from rt_rs_tpu.bvh.rf import pack_rf
+
+        if scene is not None:
+            # Truly covering bounds, like the rf handler packs
+            # (PARITY.md: the stored shrunk bounds are a reference
+            # defect a culling tracer must not inherit).
+            cover_min, cover_max = data.cover_bounds(scene)
+            debug_rf_aabb(pack_rf(data, cover_min, cover_max))
+        else:
+            debug_rf_aabb(pack_rf(data))
+    else:
+        debug_aabb(data)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -3,8 +3,15 @@
 The CPU test suite exercises Pallas only in interpret mode; this tool
 re-renders the golden scenes with every accelerated handler through the
 real Mosaic-compiled kernels and diffs against ``tests/goldens`` (the
-verify-skill recipe, scripted), then cross-checks the >=400K-pixel
-rows/any-hit path against the gather path at 1024x512.
+verify-skill recipe, scripted), then cross-checks:
+
+* the >=400K-pixel rows/any-hit path against the gather path at
+  1024x512;
+* the fused bounce kernel against the two-kernel path;
+* a beyond-VMEM (segmented) scene: gather vs rows/any-hit vs the DMA
+  streaming kernel;
+* DynamicRenderer (on-device rebuild + refit) against the static
+  packet render of the same geometry.
 
 Usage:  python -m rt_rs_tpu.tools.tpu_check
 Exit code 0 = all checks passed.
@@ -87,6 +94,69 @@ def main() -> int:
         f"{'PASS' if good else 'FAIL'}",
         flush=True,
     )
+
+    def check(label, a, b, tol=1e-5):
+        nonlocal ok
+        d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        good = d <= tol
+        ok &= good
+        print(f"{label}: max diff {d:.2e}  {'PASS' if good else 'FAIL'}",
+              flush=True)
+
+    # Fused bounce kernel (round-3 default) vs the two-kernel path.
+    cfg_small = Config(resolution=Resolution.sized(160, 120))
+    fused = Renderer(
+        scene, config=cfg_small, handler="pbvh", fuse_bounce=True
+    ).render_frame()
+    unfused = Renderer(
+        scene, config=cfg_small, handler="pbvh", fuse_bounce=False
+    ).render_frame()
+    check("fused vs unfused bounce @160x120", fused, unfused)
+
+    # Segmented (beyond-VMEM) scene: 3 teapots = 18,960 tris.
+    big = Scene.empty()
+    big.camera = scene.camera
+    big.light_pos = scene.light_pos
+    big.light_strength = scene.light_strength
+    big.mat_color = scene.mat_color
+    big.mat_albedo = scene.mat_albedo
+    big.mat_spec = scene.mat_spec
+    nv = scene.vert_pos.shape[0]
+    vp, vn, pi, pm = [], [], [], []
+    for i, dx in enumerate((-8.0, 0.0, 8.0)):
+        vp.append(scene.vert_pos + np.array([dx, 0, 0], np.float32))
+        vn.append(scene.vert_norm)
+        pi.append(scene.prim_indices + i * nv)
+        pm.append(scene.prim_material)
+    big.vert_pos = np.concatenate(vp)
+    big.vert_norm = np.concatenate(vn)
+    big.prim_indices = np.concatenate(pi)
+    big.prim_material = np.concatenate(pm)
+    from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+
+    seg_r = Renderer(big, config=cfg_small, handler="pbvh")
+    assert isinstance(seg_r.accel, SegmentedTriChunks), "scene not segmented"
+    seg_gather = seg_r.render_frame()
+    seg_rows = Renderer(
+        big, config=cfg_small, handler="pbvh", force_rows=True
+    ).render_frame()
+    check("segmented rows+anyhit vs gather @160x120", seg_rows, seg_gather)
+    dma = Renderer(
+        big, config=cfg_small, handler="pbvh",
+        handler_kwargs={"streaming_mode": "dma"},
+    ).render_frame()
+    check("DMA streaming vs segmented @160x120", dma, seg_gather)
+
+    # DynamicRenderer (on-device LBVH rebuild + refit) at the rest pose
+    # must match the static packet render of the same scene.
+    from rt_rs_tpu.renderer import DynamicRenderer
+
+    static = Renderer(scene, config=cfg_small, handler="lbvh").render_frame()
+    for refit in (False, True):
+        dyn = DynamicRenderer(scene, config=cfg_small, refit=refit)
+        frame = dyn.render_frame(scene.vert_pos)
+        check(f"dynamic refit={refit} vs static lbvh @160x120", frame, static)
+
     print("ALL PASS" if ok else "FAILURES", flush=True)
     return 0 if ok else 1
 

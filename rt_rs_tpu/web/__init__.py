@@ -101,12 +101,18 @@ class WebState:
 
     def __init__(
         self,
-        scene_path: str,
+        scene_path: str | None,
         scene_dir: str | None = None,
         handler: str = "pbvh",
         size: tuple[int, int] = (320, 240),
         config: Config | None = None,
     ):
+        """``scene_path=None`` starts the viewer unloaded (the wasm
+        app's ``Scene::Unloaded`` start state, web.rs:115-148 +
+        scene/mod.rs:16-27): a black placeholder frame until the user
+        picks a scene; ``scene_dir`` is then required."""
+        if scene_path is None and scene_dir is None:
+            raise ValueError("scene_dir is required when starting unloaded")
         self.scene_dir = Path(scene_dir or Path(scene_path).parent)
         self.handler = handler
         self.config = config or Config(
@@ -118,14 +124,25 @@ class WebState:
         self.frame_ms = 0.0
         self._keys = {"left": False, "right": False}
         self._last_frame_time = time.perf_counter()
+        # Server-side fixed-timestep gate (the reference's
+        # scheduler.ready() check before each compute pass,
+        # state/mod.rs:653-657): requests arriving faster than the
+        # configured fps are answered with the previous frame instead
+        # of dispatching a new render.
+        from rt_rs_tpu.timing import DefaultScheduler
+
+        self.scheduler = DefaultScheduler(fps=self.config.fps)
+        self._cached_png: bytes | None = None
 
         self._pending_scene: str | None = None
         self._pending_config: dict | None = None
         self._pending_viewport: tuple[int, int] | None = None
 
+        scene = (
+            Scene.unloaded() if scene_path is None else Scene.load(scene_path)
+        )
         self.renderer = Renderer(
-            Scene.load(scene_path), config=self.config, handler=handler,
-            size=size,
+            scene, config=self.config, handler=handler, size=size,
         )
 
     # -- mailbox appliers (web.rs:115-148) -----------------------------
@@ -172,6 +189,24 @@ class WebState:
 
     def render_frame_png(self) -> bytes:
         with self.lock:
+            # Backpressure: only dispatch a new frame when the pacing
+            # scheduler says so; otherwise serve the cached one (the
+            # reference's if scheduler.ready() gate before each compute
+            # pass).  Pending mailbox updates force a render — the
+            # reference applies mailboxes every tick, so a stale cached
+            # frame must never mask an applied update.
+            has_updates = (
+                self._pending_scene is not None
+                or self._pending_config is not None
+                or self._pending_viewport is not None
+                or any(self._keys.values())  # held orbit keys animate
+            )
+            if (
+                self._cached_png is not None
+                and not has_updates
+                and not self.scheduler.ready()
+            ):
+                return self._cached_png
             self._apply_updates()
             # Orbit keys: dt-scaled like the event loop
             # (mod.rs:342-353 + camera.rs:168-204).
@@ -188,12 +223,14 @@ class WebState:
             t0 = time.perf_counter()
             image = self.renderer.render_image()
             self.frame_ms = (time.perf_counter() - t0) * 1e3
+            self.scheduler.frame_done()
 
-        from PIL import Image
+            from PIL import Image
 
-        buf = BytesIO()
-        Image.fromarray(image, mode="RGB").save(buf, format="PNG")
-        return buf.getvalue()
+            buf = BytesIO()
+            Image.fromarray(image, mode="RGB").save(buf, format="PNG")
+            self._cached_png = buf.getvalue()
+            return self._cached_png
 
     def status(self) -> dict:
         return {
@@ -287,14 +324,18 @@ def make_server(state: WebState, host: str = "127.0.0.1", port: int = 0):
 
 
 def serve(
-    scene_path: str,
+    scene_path: str | None,
+    scene_dir: str | None = None,
     host: str = "127.0.0.1",
     port: int = 8080,
     handler: str = "pbvh",
     size: tuple[int, int] = (320, 240),
 ) -> None:
-    """Run the viewer (blocking): ``python -m rt_rs_tpu.web``."""
-    state = WebState(scene_path, handler=handler, size=size)
+    """Run the viewer (blocking): ``python -m rt_rs_tpu.web``.
+    ``scene_path=None`` starts unloaded (needs ``scene_dir``)."""
+    state = WebState(
+        scene_path, scene_dir=scene_dir, handler=handler, size=size
+    )
     server = make_server(state, host, port)
     print(f"rt_rs_tpu viewer on http://{host}:{server.server_address[1]}/")
     server.serve_forever()

@@ -107,3 +107,35 @@ def test_height_must_divide(default_scene):
     accel, arrays = handler.build(default_scene, arrays)
     with pytest.raises(ValueError):
         make_sharded_render(handler, accel, arrays, cfg, 16, 9, image_mesh(8))
+
+
+def test_sharded_rows_anyhit_path_matches_single(default_scene):
+    """Round-3 fast-path parity (VERDICT item 4): the kernel-emitted
+    rows + any-hit shadow branch under shard_map equals the single-chip
+    render; wg-hint block tuning is honored via `resolution`."""
+    w, h = 64, 64
+    cfg = ComputeConfig(bounces=2)
+    handler = get_handler("pbvh")
+    arrays = default_scene.pack()
+    accel, arrays = handler.build(default_scene, arrays)
+
+    mesh = image_mesh(8)
+    fn = make_sharded_render(
+        handler, accel, arrays, cfg, w, h, mesh,
+        resolution=Resolution.fixed(w, h, 16),
+        force_rows=True,
+    )
+    frame, _ = fn(
+        jnp.asarray(default_scene.camera.pos, jnp.float32),
+        jnp.asarray(default_scene.camera.at, jnp.float32),
+    )
+    frame = np.asarray(frame)
+
+    single = np.asarray(
+        Renderer(
+            default_scene,
+            config=Config(compute=cfg, resolution=Resolution.sized(w, h)),
+            handler="pbvh",
+        ).render_frame()
+    )
+    np.testing.assert_allclose(frame, single, atol=1e-5)

@@ -101,3 +101,24 @@ def test_obj_import_teapot_matches_teatime(scenes_dir, meshes_dir):
     np.testing.assert_allclose(
         scene.vert_norm, ref.vert_norm, rtol=1e-3, atol=1e-5
     )
+
+
+def test_unloaded_scene():
+    """Scene.unloaded() is the pack_unloaded placeholder
+    (scene/mod.rs:115-131): one degenerate prim, zero light, renders
+    black; serializing it is an error (the reference's unreachable!)."""
+    import numpy as np
+    import pytest
+
+    from rt_rs_tpu.scene import Scene, SceneFormatError
+
+    s = Scene.unloaded()
+    assert s.is_unloaded
+    assert s.num_prims == 1 and s.num_vertices == 1
+    assert float(s.light_strength[0]) == 0.0
+    arrays = s.pack()
+    assert arrays.no_negative_materials
+    with pytest.raises(SceneFormatError):
+        s.to_json()
+    # A loaded scene is never flagged unloaded.
+    assert not Scene.empty().is_unloaded

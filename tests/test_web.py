@@ -146,6 +146,53 @@ def test_config_survives_viewport_and_scene_switch(server):
     assert state.renderer.config.compute.bounces == 3
 
 
+def test_unloaded_start(scenes_dir):
+    """scene_path=None starts the viewer unloaded (Scene::Unloaded,
+    scene/mod.rs:16-27 + pack_unloaded :115-131): black frames until a
+    scene is picked, then a normal load."""
+    state = WebState(
+        None, scene_dir=str(scenes_dir), handler="naive", size=(16, 12)
+    )
+    assert state.renderer.scene.is_unloaded
+    png = state.render_frame_png()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(io.BytesIO(png)))
+    assert (img == 0).all()  # placeholder renders pure black
+    # Loading a real scene replaces the placeholder.
+    state._pending_scene = "default"
+    state.render_frame_png()
+    assert not state.renderer.scene.is_unloaded
+    assert state.renderer.scene.num_prims == 40
+
+
+def test_frame_pacing_gate(scenes_dir):
+    """DefaultScheduler gates per-request renders (the reference's
+    scheduler.ready() check): requests faster than the configured fps
+    are served the cached frame without re-rendering."""
+    from rt_rs_tpu.config import Config, Resolution
+
+    state = WebState(
+        str(scenes_dir / "default.json"),
+        handler="naive",
+        size=(16, 12),
+        config=Config(resolution=Resolution.sized(16, 12), fps=1),
+    )
+    png1 = state.render_frame_png()
+    ms1 = state.frame_ms
+    png2 = state.render_frame_png()  # within the 1 fps window
+    assert png2 is png1  # cache hit, no render dispatched
+    assert state.frame_ms == ms1
+    # Pending updates force a render even inside the window.
+    state._pending_config = {"bounces": 1}
+    state.render_frame_png()
+    assert state.renderer.config.compute.bounces == 1
+
+
 def test_scene_name_traversal_rejected(server):
     base, state = server
     import urllib.error
