@@ -105,9 +105,12 @@ if PART in ("all", "lbvh"):
     # cessna on-device build time comparison is in bench.py already.
 
 # 3. dynamic rebuild / refit (tuned chunks now).
-if PART in ("all", "dynamic"):
+if PART in ("all", "dynamic", "dynamic0", "dynamic1"):
     scene = Scene.load(SCENE)
-    for refit in (False, True):
+    modes = {
+        "dynamic0": (False,), "dynamic1": (True,),
+    }.get(PART, (False, True))
+    for refit in modes:
         dr = DynamicRenderer(
             scene, config=Config(resolution=Resolution.sized(384, 288)),
             refit=refit,

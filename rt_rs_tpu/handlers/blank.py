@@ -38,3 +38,19 @@ class BlankIntrs(IntrsHandler):
             )
 
         return intersect
+
+    def intersect_tiled_fn(self, accel, arrays, cfg: ComputeConfig):
+        # Native tiled entry: constant misses in the tiled layout, so
+        # the overhead probe measures the frame pipeline alone — the
+        # base-class AoS adapter would add one [T,r,3] relayout pair
+        # per call that no real backend pays.
+        miss_t = jnp.float32(cfg.t_max + 1.0)
+
+        def tiled(payload, valid, t_cap=None):
+            t_tiles, r = valid.shape
+            return (
+                jnp.full((t_tiles, r), miss_t, dtype=jnp.float32),
+                jnp.zeros((t_tiles, r), dtype=jnp.int32),
+            )
+
+        return tiled

@@ -347,9 +347,10 @@ def _shade_bounce_kernel(
     The two halves share no data (post consumes bounce b's shadow
     results, pre consumes bounce b+1's hit) but both become available
     after the same intersect call, so fusing them halves the per-bounce
-    shading kernel launches — the per-frame fixed cost that dominates
-    small frames (VERDICT round-2 item 2; the blank handler measured
-    2.9-3.9 ms/frame of pure dispatch floor at 384x288)."""
+    shading kernel launches.  MEASURED on TPU: flat at 384x288, ~+0.5 ms
+    at 640x480/1080p, ~+0.4 ms on the blank overhead probe — in-graph
+    launches are cheaper than the fused kernel's pipelining loss, so
+    trace_tiled defaults to the two-kernel path (PERF.md round 3)."""
     k = num_lights
     color_ref = out_refs[0]
     sh_refs = out_refs[1 : 1 + k]

@@ -549,7 +549,7 @@ def trace_tiled(
     interpret: bool = False,
     intersect_rows_fn: TiledIntersectFn | None = None,
     intersect_anyhit_fn: TiledIntersectFn | None = None,
-    fuse_bounce: bool = True,
+    fuse_bounce: bool = False,
 ) -> jax.Array:
     """The bounce loop over component-major ray tiles -> color [3, T, r].
 
@@ -565,10 +565,11 @@ def trace_tiled(
     and the shadow + next-bounce batch is fused into one call.
 
     ``fuse_bounce`` runs shade_post(b) and shade_pre(b+1) as ONE fused
-    kernel (both become computable after the same intersect call),
-    cutting the per-bounce shading launches from 2 to ~1 — the
-    dispatch floor that dominates small frames.  Identical math either
-    way (the fused kernel reuses the same subgroup bodies)."""
+    kernel (identical math — the fused kernel reuses the same subgroup
+    bodies).  MEASURED flat-to-slightly-slower on real TPU at every
+    size (the in-graph per-launch cost is smaller than the fused
+    kernel's loss of cross-kernel pipelining; PERF.md round 3), so the
+    default is off; the knob and kernel remain for A/B coverage."""
     from rt_rs_tpu.ops.pallas.shade_tile import (
         SUBGROUP,
         shade_bounce,
@@ -763,7 +764,7 @@ def render_tiled(
     interpret: bool = False,
     intersect_rows_fn: TiledIntersectFn | None = None,
     intersect_anyhit_fn: TiledIntersectFn | None = None,
-    fuse_bounce: bool = True,
+    fuse_bounce: bool = False,
 ) -> jax.Array:
     """Full frame via the tiled path -> color [H, W, 3] float32.
 

@@ -33,6 +33,11 @@ from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.scene.arrays import SceneArrays
 from rt_rs_tpu.utils.sync import device_sync
 
+# Chunk height for per-frame (dynamic) accel builds — measured optimum
+# differs from the static scenes' TUNED_TRI_CHUNK=64 (see
+# DynamicRenderer.step and PERF.md round 3).
+DYNAMIC_TRI_CHUNK = 32
+
 
 # Packet rays are generated in pixel-block order (shade.camera_rays
 # block=): a packet tile covers a compact 2-D pixel block instead of a
@@ -62,7 +67,7 @@ def _render_jit(
     height: int,
     block: tuple[int, int] | None,
     force_rows: bool | None = None,
-    fuse_bounce: bool = True,
+    fuse_bounce: bool = False,
 ) -> jax.Array:
     if arrays.no_negative_materials:
         # Tiled frame path: rays stay in the packet kernel's
@@ -121,7 +126,7 @@ class Renderer:
         size: tuple[int, int] | None = None,
         block: tuple[int, int] | None | str = "auto",
         force_rows: bool | None = None,
-        fuse_bounce: bool = True,
+        fuse_bounce: bool = False,
     ):
         """``force_rows`` overrides the >= 400K-pixel heuristic for the
         kernel-emitted-rows intersect branch (None = heuristic);
@@ -273,9 +278,14 @@ class DynamicRenderer:
         interpret: bool | None = None,
         refit: bool = False,
         force_rows: bool | None = None,
+        tri_chunk: int | None = None,
     ):
         """``force_rows`` overrides the >= 400K-pixel heuristic for the
         kernel-emitted-rows branch (tests force it at tiny sizes).
+        ``tri_chunk`` overrides the kernel chunk height (default: the
+        tuned constant; refit mode may prefer smaller chunks when the
+        geometry drifts far from the rest pose, since stale Morton
+        order loosens big-chunk bounds).
 
         ``refit=True`` freezes the Morton order at the rest pose and
         per-frame steps only recompute chunk bounds — a true
@@ -356,14 +366,21 @@ class DynamicRenderer:
                 and base.no_negative_materials
                 and n_tris <= (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
             )
+            # Dynamic frames prefer SMALLER chunks than static scenes:
+            # the round-3 on-TPU sweep measured tc=32 at 11.0/10.4 ms
+            # (rebuild/refit, teatime 384x288 wobble orbit) vs 18.7/
+            # 19.5 at the static-tuned tc=64 and 12.5/12.6 at tc=16 —
+            # the per-frame chunk build shifts the optimum (PERF.md
+            # round 3).
+            tc = DYNAMIC_TRI_CHUNK if tri_chunk is None else tri_chunk
             if refit:
                 accel = device_chunks(
-                    arrays.pa, arrays.pb, arrays.pc,
+                    arrays.pa, arrays.pb, arrays.pc, tri_chunk=tc,
                     shade_rows=arrays.shade_table if use_rows else None,
                 )
             else:
                 accel, arrays = build_accel_device(
-                    arrays, with_attrs=use_rows
+                    arrays, tri_chunk=tc, with_attrs=use_rows
                 )
             blk = self.config.resolution.block(DEFAULT_RAY_TILE)
             if arrays.no_negative_materials:
