@@ -19,6 +19,9 @@ from rt_rs_tpu.utils.sync import device_sync
 
 SCENE = "/root/reference/scenes/teatime.json"
 PART = sys.argv[1] if len(sys.argv) > 1 else "all"
+# Measurement blocks only run as a script (this module is
+# imported by other experiments for big_scene/static_ms).
+RUN = __name__ == "__main__"
 
 
 def orbit(r, frames, rotations=1.0):
@@ -71,7 +74,7 @@ def big_scene():
 
 
 # 1. fused bounce kernel A/B on the flagship (+ blank overhead probe).
-if PART in ("all", "blank"):
+if RUN and PART in ("all", "blank"):
     for fuse in (False, True):
         rb = Renderer(
             Scene.load(SCENE),
@@ -80,7 +83,7 @@ if PART in ("all", "blank"):
         )
         print(f"blank 384x288 fuse={fuse}: {orbit(rb, 60):.2f} ms",
               flush=True)
-if PART in ("all", "fuse"):
+if RUN and PART in ("all", "fuse"):
     for fuse in (False, True):
         for (w, h, f) in [(384, 288, 60), (1920, 1080, 12)]:
             r = Renderer(
@@ -94,7 +97,7 @@ if PART in ("all", "fuse"):
             )
 
 # 2. lbvh handler (now tuned) vs pbvh, teatime orbit.
-if PART in ("all", "lbvh"):
+if RUN and PART in ("all", "lbvh"):
     for handler in ("lbvh", "pbvh"):
         r = Renderer(
             Scene.load(SCENE),
@@ -105,7 +108,7 @@ if PART in ("all", "lbvh"):
     # cessna on-device build time comparison is in bench.py already.
 
 # 3. dynamic rebuild / refit (tuned chunks now).
-if PART in ("all", "dynamic", "dynamic0", "dynamic1"):
+if RUN and PART in ("all", "dynamic", "dynamic0", "dynamic1"):
     scene = Scene.load(SCENE)
     modes = {
         "dynamic0": (False,), "dynamic1": (True,),
@@ -130,7 +133,7 @@ if PART in ("all", "dynamic", "dynamic0", "dynamic1"):
         print(f"dynamic refit={refit}: {ms:.1f} ms", flush=True)
 
 # 4. segmented 50K-tri scene: gather vs rows/any-hit fast path.
-if PART in ("all", "seg"):
+if RUN and PART in ("all", "seg"):
     big = big_scene()
     print(f"big scene: {big.prim_indices.shape[0]} tris", flush=True)
     for force_rows in (False, True):

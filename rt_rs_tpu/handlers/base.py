@@ -111,3 +111,11 @@ class IntrsHandler(abc.ABC):
         7)``.  ``None`` (default) = unsupported; shadow batches then
         use the closest-hit path (identical results)."""
         return None
+
+    def rows_default(self, accel: Any, n_pixels: int) -> bool:
+        """Should the frame take the kernel-emitted-rows branch when the
+        caller didn't force it?  The measured crossover is ~300K rays
+        (PERF.md: 1080p 87 -> 76 ms, 384x288 would LOSE 9.4 -> 10.1);
+        backends whose rows path regresses regardless of size (e.g.
+        segmented tables) override this to stay on the gather path."""
+        return n_pixels >= 400_000

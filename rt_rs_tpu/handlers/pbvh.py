@@ -60,6 +60,7 @@ class PacketBvhIntrs(IntrsHandler):
         ray_tile: int | None = None,
         tri_chunk: int | None = None,
         streaming_mode: str = "segmented",
+        chain: bool = True,
     ):
         self.eps = eps
         self.target_item_count = target_item_count
@@ -75,6 +76,10 @@ class PacketBvhIntrs(IntrsHandler):
         if streaming_mode not in ("segmented", "dma"):
             raise ValueError(f"unknown streaming_mode {streaming_mode!r}")
         self.streaming_mode = streaming_mode
+        # Cross-segment cap/validity chaining (front-to-back pruning;
+        # exact — see packet_closest_hit_segmented_tiled).  Knob for
+        # A/B measurement only.
+        self.chain = chain
         self.bvh_data: BvhData | None = self._data
 
     @property
@@ -219,6 +224,7 @@ class PacketBvhIntrs(IntrsHandler):
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, SegmentedTriChunks):
             fn = packet_closest_hit_segmented_tiled
+            kwargs["chain"] = self.chain
         elif accel.num_chunks * accel.comp.shape[1] > MAX_VMEM_CHUNKS * TRI_CHUNK:
             # DMA streaming has no tiled entry; adapt the AoS path.
             return super().intersect_tiled_fn(accel, arrays, cfg)
@@ -252,6 +258,7 @@ class PacketBvhIntrs(IntrsHandler):
             if any(s.attr_t is None for s in accel.segments):
                 return None
             fn = packet_closest_hit_segmented_tiled
+            kwargs["chain"] = self.chain
         elif isinstance(accel, TriChunks) and accel.attr_t is not None:
             if not resident_fits(accel, with_attrs=True):
                 return None
@@ -269,6 +276,18 @@ class PacketBvhIntrs(IntrsHandler):
             **kwargs,
         )
 
+    def rows_default(self, accel, n_pixels: int) -> bool:
+        from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+
+        if isinstance(accel, SegmentedTriChunks):
+            # Per-segment row emission + winner select LOSES on real
+            # TPU at every size measured (50K-tri 640x480: 273 -> 334
+            # ms static — the frame is intersect-bound and rows cost
+            # scales with segment count; PERF.md round 3).  Segmented
+            # scenes stay on the gather path unless explicitly forced.
+            return False
+        return super().rows_default(accel, n_pixels)
+
     def intersect_tiled_anyhit_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
             SegmentedTriChunks,
@@ -283,6 +302,7 @@ class PacketBvhIntrs(IntrsHandler):
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, SegmentedTriChunks):
             fn = packet_closest_hit_segmented_tiled  # OR-merged blocked
+            kwargs["chain"] = self.chain
         elif isinstance(accel, TriChunks) and resident_fits(accel):
             fn = packet_closest_hit_tiled
         else:

@@ -871,8 +871,15 @@ def packet_closest_hit_segmented(
         # lies outside this segment get an out-of-range local id that
         # matches nothing (exactly right).
         excl_local = excl - jnp.int32(base)
+        # Chain the running best into the next segment's cull (exact —
+        # see packet_closest_hit_segmented_tiled's chain note).
+        cap_s = t_cap
+        if best_t is not None:
+            cap_s = (
+                best_t if cap_s is None else jnp.minimum(cap_s, best_t)
+            )
         t_s, id_s = packet_closest_hit(
-            chunk_seg, o, d, excl_local, valid, t_cap,
+            chunk_seg, o, d, excl_local, valid, cap_s,
             t_min=t_min, t_max=t_max, eps=eps,
             cull_block=cull_block, ray_tile=ray_tile, interpret=interpret,
         )
@@ -899,6 +906,7 @@ def packet_closest_hit_segmented_tiled(
     interpret: bool = False,
     emit_rows: bool = False,
     any_hit: bool = False,
+    chain: bool = True,
 ):
     """Tiled closest hit over a segmented (beyond-VMEM) table.
 
@@ -913,26 +921,51 @@ def packet_closest_hit_segmented_tiled(
     rows across segments: each segment's kernel emits bit-exact rows
     for its own hits, and the [32, T, r] select keeps bit-exactness
     (VERDICT round-2 item 3 — beyond-VMEM scenes get the same fast
-    paths as resident ones)."""
+    paths as resident ones).
+
+    ``chain`` threads each segment's running result into the next
+    segment's conservative cull — the wavefront realization of the
+    hierarchy pruning the reference gets from its tree descent
+    (bvh.rs:321-350), with NO data-dependent control flow: closest-hit
+    passes ``min(t_cap, best-so-far)`` as the next call's per-ray cap
+    (the prelude culls chunks entirely beyond every live ray's cap),
+    any-hit deactivates already-blocked rays.  Results are EXACT
+    either way: a chunk culled by the cap satisfies ``near_lb >
+    max_r best_t[r]``, so its hits could only lose the min-t merge
+    (ties keep the earlier segment, matching the naive prim-order
+    semantics), and a blocked ray's verdict is already final.  The
+    cost is serializing the segment preludes against the previous
+    kernel; measured on TPU (PERF.md round 3)."""
     if emit_rows and any_hit:
         raise ValueError("emit_rows and any_hit are mutually exclusive")
     if any_hit:
         blocked = None
+        valid_s = valid
         for base, chunk_seg in zip(seg.prim_base, seg.segments):
             b_s = packet_closest_hit_tiled(
-                chunk_seg, payload, valid, t_cap,
+                chunk_seg, payload, valid_s, t_cap,
                 t_min=t_min, t_max=t_max, eps=eps,
                 cull_block=cull_block, interpret=interpret,
                 pid_base=base, any_hit=True,
             )
+            # The kernel's outputs are unspecified for invalid rays —
+            # mask before merging (chained calls shrink validity).
+            b_s = b_s & valid_s
             blocked = b_s if blocked is None else (blocked | b_s)
+            if chain:
+                valid_s = valid & ~blocked
         return blocked
     best_t = None
     best_id = None
     best_rows = None
     for base, chunk_seg in zip(seg.prim_base, seg.segments):
+        cap_s = t_cap
+        if chain and best_t is not None:
+            cap_s = (
+                best_t if cap_s is None else jnp.minimum(cap_s, best_t)
+            )
         out = packet_closest_hit_tiled(
-            chunk_seg, payload, valid, t_cap,
+            chunk_seg, payload, valid, cap_s,
             t_min=t_min, t_max=t_max, eps=eps,
             cull_block=cull_block, interpret=interpret, pid_base=base,
             emit_rows=emit_rows,

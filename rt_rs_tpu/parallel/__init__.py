@@ -91,7 +91,7 @@ def make_sharded_render(
         # Fast-path parity with _render_jit: the heuristic applies to
         # the PER-BAND pixel count (that is what each chip renders).
         use_rows = (
-            width * rows_per_dev >= 400_000
+            handler.rows_default(accel, width * rows_per_dev)
             if force_rows is None
             else force_rows
         )

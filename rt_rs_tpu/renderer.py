@@ -82,7 +82,9 @@ def _render_jit(
         rows_fn = None
         anyhit_fn = None
         use_rows = (
-            width * height >= 400_000 if force_rows is None else force_rows
+            handler.rows_default(accel, width * height)
+            if force_rows is None
+            else force_rows
         )
         if use_rows:
             rows_fn = handler.intersect_tiled_rows_fn(accel, arrays, cfg)

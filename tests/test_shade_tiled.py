@@ -249,6 +249,19 @@ def test_segmented_rows_and_anyhit_match_resident(teatime):
     )
     np.testing.assert_array_equal(np.asarray(b1)[v], np.asarray(b0)[v])
 
+    # chain=False (independent per-segment calls, the round-3-pre
+    # behavior) must agree with the chained default — the cap/validity
+    # threading is a pure cull.
+    t2, i2 = packet_closest_hit_segmented_tiled(
+        seg, payload, valid, chain=False, **kw
+    )
+    np.testing.assert_allclose(np.asarray(t2)[v], np.asarray(t1)[v], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2)[v], np.asarray(i1)[v])
+    b2 = packet_closest_hit_segmented_tiled(
+        seg, pay_cap, valid, any_hit=True, chain=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(b2)[v], np.asarray(b1)[v])
+
 
 def test_segmented_render_rows_path(teatime):
     """Full Renderer frame on a segmented build with force_rows: the
@@ -277,6 +290,23 @@ def test_segmented_render_rows_path(teatime):
     np.testing.assert_allclose(
         np.asarray(seg_r.render_frame()), ref, atol=2e-6
     )
+
+
+def test_segmented_rows_default_off(teatime):
+    """Segmented tables default to the gather path at EVERY size (the
+    per-segment rows emission measured slower on TPU regardless of
+    pixel count — PERF.md round 3); resident tables keep the 400K
+    crossover.  force_rows=True still overrides."""
+    from rt_rs_tpu.handlers import get_handler as gh
+    from rt_rs_tpu.ops.pallas.packet_trace import split_chunks
+
+    h = gh("pbvh", interpret=True)
+    accel, _ = h.build(teatime, teatime.pack())
+    seg = split_chunks(accel, max_seg_tris=2048)
+    assert h.rows_default(accel, 2_073_600) is True
+    assert h.rows_default(accel, 110_592) is False
+    assert h.rows_default(seg, 2_073_600) is False
+    assert h.rows_default(seg, 110_592) is False
 
 
 def test_fused_bounce_kernel_matches_unfused(teatime):
