@@ -160,6 +160,7 @@ class LbvhIntrs(IntrsHandler):
         interpret: bool | None = None,
         tri_chunk: int | None = None,
         ray_tile: int | None = None,
+        refine: str = "bounces",
     ):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -168,6 +169,17 @@ class LbvhIntrs(IntrsHandler):
             TUNED_TRI_CHUNK if tri_chunk is None else tri_chunk
         )
         self.ray_tile = TUNED_RAY_TILE if ray_tile is None else ray_tile
+        # Per-ray cull refinement for divergent secondary batches —
+        # same policy knob as PacketBvhIntrs ("off"/"bounces"/"all").
+        if refine not in ("off", "bounces", "all"):
+            raise ValueError(f"unknown refine mode {refine!r}")
+        self.refine = refine
+
+    def _tag_refine(self, fn):
+        if self.refine == "all":
+            fn = partial(fn, refine=True)
+        fn.supports_refine = self.refine != "off"
+        return fn
 
     @property
     def block_lanes(self) -> int:
@@ -219,14 +231,14 @@ class LbvhIntrs(IntrsHandler):
             packet_closest_hit_tiled,
         )
 
-        return partial(
+        return self._tag_refine(partial(
             packet_closest_hit_tiled,
             accel,
             t_min=cfg.t_min,
             t_max=cfg.t_max,
             eps=cfg.eps,
             interpret=self.interpret,
-        )
+        ))
 
     def intersect_tiled_rows_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
@@ -236,7 +248,7 @@ class LbvhIntrs(IntrsHandler):
 
         if accel.attr_t is None or not resident_fits(accel, with_attrs=True):
             return None
-        return partial(
+        return self._tag_refine(partial(
             packet_closest_hit_tiled,
             accel,
             t_min=cfg.t_min,
@@ -244,14 +256,14 @@ class LbvhIntrs(IntrsHandler):
             eps=cfg.eps,
             interpret=self.interpret,
             emit_rows=True,
-        )
+        ))
 
     def intersect_tiled_anyhit_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
             packet_closest_hit_tiled,
         )
 
-        return partial(
+        return self._tag_refine(partial(
             packet_closest_hit_tiled,
             accel,
             t_min=cfg.t_min,
@@ -259,4 +271,4 @@ class LbvhIntrs(IntrsHandler):
             eps=cfg.eps,
             interpret=self.interpret,
             any_hit=True,
-        )
+        ))

@@ -61,6 +61,7 @@ class PacketBvhIntrs(IntrsHandler):
         tri_chunk: int | None = None,
         streaming_mode: str = "segmented",
         chain: bool = True,
+        refine: str = "bounces",
     ):
         self.eps = eps
         self.target_item_count = target_item_count
@@ -80,7 +81,25 @@ class PacketBvhIntrs(IntrsHandler):
         # exact — see packet_closest_hit_segmented_tiled).  Knob for
         # A/B measurement only.
         self.chain = chain
+        # Per-ray cull refinement (chunk_overlap_mask_perray_cm):
+        # "bounces" (default) lets trace_tiled enable it on
+        # secondary/shadow batches, where tile-interval culling
+        # collapses under ray divergence; "all" forces it on every
+        # call (incl. coherent primaries — for measurement); "off"
+        # disables (round-2 behavior).
+        if refine not in ("off", "bounces", "all"):
+            raise ValueError(f"unknown refine mode {refine!r}")
+        self.refine = refine
         self.bvh_data: BvhData | None = self._data
+
+    def _tag_refine(self, fn):
+        """Mark a tiled-entry partial with the refine policy: bake
+        refine=True for "all" (call-site kwargs still override) and
+        advertise support so trace_tiled opts bounce batches in."""
+        if self.refine == "all":
+            fn = partial(fn, refine=True)
+        fn.supports_refine = self.refine != "off"
+        return fn
 
     @property
     def block_lanes(self) -> int:
@@ -230,7 +249,7 @@ class PacketBvhIntrs(IntrsHandler):
             return super().intersect_tiled_fn(accel, arrays, cfg)
         else:
             fn = packet_closest_hit_tiled
-        return partial(
+        return self._tag_refine(partial(
             fn,
             accel,
             t_min=cfg.t_min,
@@ -238,7 +257,7 @@ class PacketBvhIntrs(IntrsHandler):
             eps=cfg.eps,
             interpret=self.interpret,
             **kwargs,
-        )
+        ))
 
     def intersect_tiled_rows_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
@@ -265,7 +284,7 @@ class PacketBvhIntrs(IntrsHandler):
             fn = packet_closest_hit_tiled
         else:
             return None
-        return partial(
+        return self._tag_refine(partial(
             fn,
             accel,
             t_min=cfg.t_min,
@@ -274,7 +293,7 @@ class PacketBvhIntrs(IntrsHandler):
             interpret=self.interpret,
             emit_rows=True,
             **kwargs,
-        )
+        ))
 
     def rows_default(self, accel, n_pixels: int) -> bool:
         from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
@@ -308,7 +327,7 @@ class PacketBvhIntrs(IntrsHandler):
         else:
             # The DMA-streaming table has no resident any-hit entry.
             return None
-        return partial(
+        return self._tag_refine(partial(
             fn,
             accel,
             t_min=cfg.t_min,
@@ -317,4 +336,4 @@ class PacketBvhIntrs(IntrsHandler):
             interpret=self.interpret,
             any_hit=True,
             **kwargs,
-        )
+        ))

@@ -76,6 +76,12 @@ MAX_VMEM_CHUNKS = 1536
 TILE_GROUP = 32  # ray tiles processed per grid step (amortizes the
 # per-step pipeline overhead, which otherwise dominates when most
 # tiles are empty: 1080p teatime went ~135 ms -> see bench history)
+REFINE_SUB = 1  # default refine granularity: 1 = exact per-ray slabs
+# (chunk_overlap_mask_perray_cm).  MEASURED: subgroup interval boxes
+# barely tighten the lists (teatime bounce batches: interval 25.3K
+# entries, sub-8 22.0K, per-ray 12.7K) — reflected-direction
+# divergence is extreme even across 4 adjacent pixels — so the only
+# granularity worth its math is per-ray (see PERF.md round 3).
 
 
 @jax.tree_util.register_dataclass
@@ -322,6 +328,285 @@ def _overlap_from_bounds(
     )
 
 
+def chunk_overlap_mask_perray_cm(
+    o3: jax.Array,  # [3, T, r] component-major origins
+    inv3: jax.Array,  # [3, T, r]
+    ray_valid: jax.Array,  # [T, r] bool
+    bmin: jax.Array,
+    bmax: jax.Array,
+    *,
+    t_min: float,
+    t_max: float,
+    t_cap: jax.Array | None = None,  # [T, r]
+    tile_block: int = TILE_GROUP,
+) -> jax.Array:
+    """Per-ray slab culling, OR-reduced over each tile's live rays ->
+    [T, Nc] — the pass behind ``refine=True``.
+
+    The interval cull (:func:`chunk_overlap_mask_cm`) wraps ALL of a
+    tile's rays in one origin/inv-direction box; when the tile's rays
+    diverge (secondary bounces — reflected directions fan out across
+    the scene) that box covers everything and the cull collapses:
+    frame profiling measured bounce intersects at ~2.5 ms each with
+    <5% live rays, all of it kernel math on near-uncullable lists
+    (PERF.md round 3).  Here every ray runs its own slab test (an
+    [r, Nc] lattice per tile, ~20 VPU ops per pair) and a chunk
+    survives iff ANY live ray's [near, far] interval overlaps it —
+    the same conservativeness guarantee (identical wobble-inflated
+    bounds; every chunk a ray could hit passes its slab test), far
+    tighter lists under divergence.  Rays with a cap (shadow rays:
+    their light distance; chained segments: the running best) cull
+    against their OWN cap instead of the tile max.
+
+    Zero direction components give ``inf`` inverses; they are clamped
+    to +-1e30, which preserves the parallel-ray verdict exactly
+    (origin outside the slab -> near=+huge -> culled; inside ->
+    -huge/+huge -> no constraint) without the 0*inf NaNs of the raw
+    slab test.  NaN directions (a degenerate camera) cull everything
+    — unlike the interval cull's keep-everything; garbage either way.
+
+    Processed in ``tile_block``-tile batches via ``lax.map`` so live
+    temporaries stay at [B, r, Nc] f32 (~4 MB at the default sizes)
+    regardless of XLA's fusion decisions (a single [T, r, Nc]
+    formulation would stage ~180 MB per temporary at 1080p)."""
+    t_tiles, r = ray_valid.shape
+    nc = bmin.shape[0]
+    wob = 2e-6 + 1e-5 * jnp.maximum(jnp.abs(bmin), jnp.abs(bmax))
+    lo_b = (bmin - wob).T  # [3, Nc] — chunks on lanes in the lattice
+    hi_b = (bmax + wob).T
+    nonempty = jnp.all(bmin <= bmax, axis=-1)  # [Nc] (padded chunks)
+    inv = jnp.clip(inv3, -1e30, 1e30)
+    if t_cap is None:
+        cap = jnp.full((t_tiles, r), t_max, jnp.float32)
+    else:
+        cap = jnp.minimum(t_cap, jnp.float32(t_max))
+    if t_tiles % tile_block:
+        raise ValueError(
+            f"tile count {t_tiles} not a multiple of {tile_block}"
+        )
+    nb = t_tiles // tile_block
+
+    def compute(o, iv, vld, cp):
+        near = jnp.full((tile_block, r, nc), -jnp.inf, jnp.float32)
+        far = jnp.full((tile_block, r, nc), jnp.inf, jnp.float32)
+        for ax in range(3):
+            ob = o[ax][:, :, None]  # [B, r, 1]
+            ib = iv[ax][:, :, None]
+            q0 = (lo_b[ax][None, None, :] - ob) * ib  # [B, r, Nc]
+            q1 = (hi_b[ax][None, None, :] - ob) * ib
+            near = jnp.maximum(near, jnp.minimum(q0, q1))
+            far = jnp.minimum(far, jnp.maximum(q0, q1))
+        ok = (
+            vld[:, :, None]
+            & (near <= far)
+            & (far >= t_min)
+            & (near <= cp[:, :, None])
+        )
+        return jnp.any(ok, axis=1)  # [B, Nc]
+
+    def block(args):
+        o, iv, vld, cp, live = args  # [3,B,r] [3,B,r] [B,r] [B,r] []
+        # Secondary bounces leave most blocks with no live ray at all
+        # (<5% live by bounce 2 — PERF.md round 3); a real branch here
+        # skips the whole [B, r, Nc] lattice for them, which is where
+        # the dense formulation spent most of its time.
+        return jax.lax.cond(
+            live,
+            lambda: compute(o, iv, vld, cp),
+            lambda: jnp.zeros((tile_block, nc), bool),
+        )
+
+    v_b = ray_valid.reshape(nb, tile_block, r)
+    out = jax.lax.map(
+        block,
+        (
+            o3.reshape(3, nb, tile_block, r).transpose(1, 0, 2, 3),
+            inv.reshape(3, nb, tile_block, r).transpose(1, 0, 2, 3),
+            v_b,
+            cap.reshape(nb, tile_block, r),
+            v_b.reshape(nb, tile_block * r).any(axis=1),
+        ),
+    )
+    return out.reshape(t_tiles, nc) & nonempty[None, :]
+
+
+def _refine_kernel(
+    group_live_ref,  # SMEM [G] i32 (scalar prefetch): any valid ray
+    tile_live_ref,  # SMEM [T] i32 (scalar prefetch): any valid ray
+    rays_ref,  # VMEM (8, TILE_GROUP, r): component-major payload
+    capm_ref,  # VMEM (TILE_GROUP, r): min(cap, t_max), -inf if invalid
+    bounds_ref,  # VMEM (nc_pad, 8): lanes 0-2 lo, 3-5 hi (wobbled)
+    out_ref,  # VMEM (1, TILE_GROUP, nc_pad) i32: per-tile OR'd overlap
+    *,
+    t_min: float,
+):
+    nc = out_ref.shape[2]
+    r = rays_ref.shape[2]
+    tile0 = pl.program_id(0) * TILE_GROUP
+
+    lo = [bounds_ref[:, ax : ax + 1] for ax in range(3)]  # (nc, 1)
+    hi = [bounds_ref[:, 3 + ax : 4 + ax] for ax in range(3)]
+    ones_r = jnp.ones((1, r), dtype=jnp.float32)
+
+    def live_row(g):
+        near = jnp.full((nc, r), -jnp.inf, dtype=jnp.float32)
+        far = jnp.full((nc, r), jnp.inf, dtype=jnp.float32)
+        for ax in range(3):
+            o = rays_ref[ax : ax + 1, g, :]  # (1, r)
+            iv = jnp.clip(
+                1.0 / rays_ref[3 + ax : 4 + ax, g, :], -1e30, 1e30
+            )
+            q0 = (lo[ax] - o) * iv  # (nc, r)
+            q1 = (hi[ax] - o) * iv
+            near = jnp.maximum(near, jnp.minimum(q0, q1))
+            far = jnp.minimum(far, jnp.maximum(q0, q1))
+        ok = (
+            (near <= far)
+            & (far >= jnp.float32(t_min))
+            & (near <= capm_ref[pl.ds(g, 1), :])
+        )
+        # OR over rays as a count matvec — lands the result directly
+        # in row layout (1, nc), avoiding a (nc,1)->(1,nc) transpose.
+        return jax.lax.dot_general(
+            ones_r,
+            ok.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, nc)
+
+    def tile_body(g, carry):
+        # Per-TILE liveness gate: secondary bounces leave live groups
+        # mostly dead inside (live tiles ~15% of a 32-tile grid while
+        # live groups are ~50% — PERF.md round 3); the scalar-prefetch
+        # cond skips the whole (nc, r) lattice per dead tile, same
+        # shape as _mt_kernel's subtile gate.
+        ov = jax.lax.cond(
+            tile_live_ref[tile0 + g] > 0,
+            lambda: live_row(g),
+            lambda: jnp.zeros((1, nc), jnp.float32),
+        )
+        # Row g of the carried (TILE_GROUP, nc) block — a masked
+        # select instead of a dynamic sublane store.
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE_GROUP, nc), 0)
+            == g
+        )
+        return jnp.where(sel, ov, carry)
+
+    @pl.when(group_live_ref[pl.program_id(0)] == 0)
+    def _():
+        out_ref[0, :, :] = jnp.zeros((TILE_GROUP, nc), dtype=jnp.int32)
+
+    @pl.when(group_live_ref[pl.program_id(0)] > 0)
+    def _():
+        acc = jax.lax.fori_loop(
+            0,
+            TILE_GROUP,
+            tile_body,
+            jnp.zeros((TILE_GROUP, nc), dtype=jnp.float32),
+        )
+        out_ref[0, :, :] = (acc > 0.0).astype(jnp.int32)
+
+
+def _perray_overlap_kernel_call(
+    payload: jax.Array,  # [8, T, r]
+    ray_valid: jax.Array,  # [T, r] bool
+    bmin: jax.Array,
+    bmax: jax.Array,
+    *,
+    t_min: float,
+    t_max: float,
+    t_cap: jax.Array | None,
+    interpret: bool,
+) -> jax.Array:
+    """Pallas wrapper for the per-ray refine cull -> [T, Nc] bool.
+
+    Bit-equivalent to the XLA formulation in
+    :func:`chunk_overlap_mask_perray_cm` (same arithmetic per pair),
+    but skips dead 32-tile groups AND dead tiles inside live groups,
+    which is most of the work on secondary bounces."""
+    t_tiles, r = ray_valid.shape
+    nc = bmin.shape[0]
+    nc_pad = -(-nc // 8) * 8
+    wob = 2e-6 + 1e-5 * jnp.maximum(jnp.abs(bmin), jnp.abs(bmax))
+    bounds = jnp.zeros((nc_pad, 8), dtype=jnp.float32)
+    bounds = bounds.at[:nc, 0:3].set(bmin - wob)
+    bounds = bounds.at[:nc, 3:6].set(bmax + wob)
+    if t_cap is None:
+        capm = jnp.full((t_tiles, r), t_max, jnp.float32)
+    else:
+        capm = jnp.minimum(t_cap, jnp.float32(t_max))
+    capm = jnp.where(ray_valid, capm, -jnp.inf)
+    tile_live = jnp.any(ray_valid, axis=1).astype(jnp.int32)  # [T]
+    t_groups = t_tiles // TILE_GROUP
+    group_live = (
+        tile_live.reshape(t_groups, TILE_GROUP).max(axis=1)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_groups,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_GROUP, r), lambda t, *_: (0, t, 0)),
+            pl.BlockSpec((TILE_GROUP, r), lambda t, *_: (t, 0)),
+            pl.BlockSpec((nc_pad, 8), lambda t, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE_GROUP, nc_pad), lambda t, *_: (t, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_refine_kernel, t_min=t_min),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (t_groups, TILE_GROUP, nc_pad), jnp.int32
+        ),
+        interpret=interpret,
+    )(group_live, tile_live, payload, capm, bounds)
+    nonempty = jnp.all(bmin <= bmax, axis=-1)  # [Nc]
+    return (
+        out.reshape(t_tiles, nc_pad)[:, :nc] > 0
+    ) & nonempty[None, :]
+
+
+def chunk_overlap_mask_subgroup_cm(
+    o3: jax.Array,  # [3, T, r] component-major origins
+    inv3: jax.Array,  # [3, T, r]
+    ray_valid: jax.Array,  # [T, r] bool
+    bmin: jax.Array,
+    bmax: jax.Array,
+    *,
+    t_min: float,
+    t_max: float,
+    t_cap: jax.Array | None = None,  # [T, r]
+    sub: int = 8,
+) -> jax.Array:
+    """Interval culling at ``sub``-ray granularity, OR-reduced back to
+    tiles -> [T, Nc] — the production ``refine`` pass.
+
+    Reshapes each ray tile into ``r/sub`` pseudo-tiles of ``sub``
+    consecutive rays (adjacent pixels under the block swizzle) and
+    runs the ordinary tile-interval cull on them: 8-ray interval boxes
+    stay tight where a 256-ray box has fanned out over the whole
+    scene.  Costs ~sub-times less VPU math than the exact per-ray
+    slab pass (:func:`chunk_overlap_mask_perray_cm`) at nearly the
+    same list lengths (measured; PERF.md round 3), and inherits the
+    interval cull's conservativeness proof verbatim — it IS that cull
+    on smaller tiles."""
+    t_tiles, r = ray_valid.shape
+    if r % sub:
+        raise ValueError(f"ray_tile {r} not a multiple of sub {sub}")
+    g = r // sub
+    ov = chunk_overlap_mask_cm(
+        o3.reshape(3, t_tiles * g, sub),
+        inv3.reshape(3, t_tiles * g, sub),
+        ray_valid.reshape(t_tiles * g, sub),
+        bmin, bmax,
+        t_min=t_min, t_max=t_max,
+        t_cap=None if t_cap is None else t_cap.reshape(t_tiles * g, sub),
+    )  # [T*g, Nc]
+    return ov.reshape(t_tiles, g, -1).any(axis=1)
+
+
 # ----------------------------------------------------------------------
 # The kernel
 
@@ -538,6 +823,7 @@ def packet_closest_hit(
     cull_block: int = CULL_BLOCK,
     ray_tile: int = RAY_TILE,
     interpret: bool = False,
+    refine: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Closest hit over the chunked triangle soup -> (t [N], pid [N]).
 
@@ -588,7 +874,7 @@ def packet_closest_hit(
     out_t, out_id = packet_closest_hit_tiled(
         chunks, payload, valid, cap_p,
         t_min=t_min, t_max=t_max, eps=eps,
-        cull_block=cull_block, interpret=interpret,
+        cull_block=cull_block, interpret=interpret, refine=refine,
     )
     return out_t.reshape(n_pad)[:n], out_id.reshape(n_pad)[:n]
 
@@ -607,6 +893,7 @@ def packet_closest_hit_tiled(
     pid_base: int = 0,
     emit_rows: bool = False,
     any_hit: bool = False,
+    refine: bool = False,
 ):
     """Closest hit over pre-tiled component-major rays -> (t [T, r],
     pid [T, r]) — plus the winning prims' shade-table rows
@@ -631,7 +918,15 @@ def packet_closest_hit_tiled(
     with ``shade_rows``); the kernel's second pass replaces the XLA
     [N, 32] row gather bit-exactly (match-matmul of 0/1 against the
     attr table; miss rays get all-zero rows, whose every consumed field
-    is masked by validity downstream)."""
+    is masked by validity downstream).
+
+    ``refine`` swaps the per-tile interval cull for the exact per-ray
+    slab cull (:func:`chunk_overlap_mask_perray_cm`) — same
+    conservative contract, far shorter lists when the tile's rays
+    diverge, at an extra dense [r, Nc] lattice per tile.  Callers
+    enable it for secondary-bounce/shadow batches (see
+    ``ops.shade.trace_tiled``); for coherent primaries it buys
+    nothing and costs the lattice."""
     nc = chunks.num_chunks
     if nc % cull_block:
         raise ValueError(
@@ -664,10 +959,27 @@ def packet_closest_hit_tiled(
         )
     else:
         blk_min, blk_max = chunks.bmin, chunks.bmax
-    overlap = chunk_overlap_mask_cm(
-        payload[0:3], inv3, valid, blk_min, blk_max,
-        t_min=t_min, t_max=t_max, t_cap=t_cap,
-    )  # [T, Nb]
+    # refine: False/0 = tile-interval cull; 1 = exact per-ray slabs;
+    # True or n>1 = interval cull at n-ray subgroups (True -> the
+    # measured-optimal REFINE_SUB).
+    if refine:
+        n_sub = REFINE_SUB if refine is True else int(refine)
+        if n_sub == 1:
+            overlap = _perray_overlap_kernel_call(
+                payload, valid, blk_min, blk_max,
+                t_min=t_min, t_max=t_max, t_cap=t_cap,
+                interpret=interpret,
+            )
+        else:
+            overlap = chunk_overlap_mask_subgroup_cm(
+                payload[0:3], inv3, valid, blk_min, blk_max,
+                t_min=t_min, t_max=t_max, t_cap=t_cap, sub=n_sub,
+            )
+    else:
+        overlap = chunk_overlap_mask_cm(
+            payload[0:3], inv3, valid, blk_min, blk_max,
+            t_min=t_min, t_max=t_max, t_cap=t_cap,
+        )  # [T, Nb]
 
     # Compact block ids per tile (stable argsort puts overlapping
     # blocks first, ascending), then expand each block to its
@@ -852,6 +1164,7 @@ def packet_closest_hit_segmented(
     cull_block: int = CULL_BLOCK,
     ray_tile: int = RAY_TILE,
     interpret: bool = False,
+    refine: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Closest hit over a table larger than VMEM: run the resident
     kernel per pre-sliced VMEM-sized segment and merge.
@@ -882,6 +1195,7 @@ def packet_closest_hit_segmented(
             chunk_seg, o, d, excl_local, valid, cap_s,
             t_min=t_min, t_max=t_max, eps=eps,
             cull_block=cull_block, ray_tile=ray_tile, interpret=interpret,
+            refine=refine,
         )
         id_s = jnp.where(id_s > 0, id_s + jnp.int32(base), 0)
         if best_t is None:
@@ -907,6 +1221,7 @@ def packet_closest_hit_segmented_tiled(
     emit_rows: bool = False,
     any_hit: bool = False,
     chain: bool = True,
+    refine: bool = False,
 ):
     """Tiled closest hit over a segmented (beyond-VMEM) table.
 
@@ -946,7 +1261,7 @@ def packet_closest_hit_segmented_tiled(
                 chunk_seg, payload, valid_s, t_cap,
                 t_min=t_min, t_max=t_max, eps=eps,
                 cull_block=cull_block, interpret=interpret,
-                pid_base=base, any_hit=True,
+                pid_base=base, any_hit=True, refine=refine,
             )
             # The kernel's outputs are unspecified for invalid rays —
             # mask before merging (chained calls shrink validity).
@@ -968,7 +1283,7 @@ def packet_closest_hit_segmented_tiled(
             chunk_seg, payload, valid, cap_s,
             t_min=t_min, t_max=t_max, eps=eps,
             cull_block=cull_block, interpret=interpret, pid_base=base,
-            emit_rows=emit_rows,
+            emit_rows=emit_rows, refine=refine,
         )
         if emit_rows:
             t_s, id_s, rows_s = out

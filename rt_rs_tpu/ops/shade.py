@@ -618,6 +618,19 @@ def trace_tiled(
     table = scene.shade_table
     emit = intersect_rows_fn is not None
 
+    def _refine_kw(fn):
+        # Secondary/shadow batches opt into the per-ray cull refinement
+        # when the backend supports it: reflected directions diverge
+        # within a tile, collapsing the interval cull (bounce
+        # intersects measured ~2.5 ms each with <5% live rays —
+        # PERF.md round 3).  Primaries stay on the cheaper interval
+        # cull (coherent rays; refinement buys nothing there).
+        return (
+            {"refine": True}
+            if getattr(fn, "supports_refine", False)
+            else {}
+        )
+
     def liveness(t, pid, active, rows_k):
         """Per-bounce hit rows + validity update (shared by all
         bounces).  With emit, rows came from the kernel's attribute
@@ -671,18 +684,24 @@ def trace_tiled(
             sh_caps = jnp.concatenate(list(caps))
             if intersect_anyhit_fn is not None:
                 blocked = intersect_anyhit_fn(
-                    sh_pay, sh_valid, t_cap=sh_caps
+                    sh_pay, sh_valid, t_cap=sh_caps,
+                    **_refine_kw(intersect_anyhit_fn),
                 )
                 sh_t = blocked.reshape(k, t_tiles, r).astype(jnp.float32)
                 sh_id = sh_t
                 blocked_mode = True
             else:
-                st, sid = intersect_fn(sh_pay, sh_valid, t_cap=sh_caps)
+                st, sid = intersect_fn(
+                    sh_pay, sh_valid, t_cap=sh_caps,
+                    **_refine_kw(intersect_fn),
+                )
                 sh_t = st.reshape(k, t_tiles, r)
                 sh_id = sid.reshape(k, t_tiles, r)
                 blocked_mode = False
             if not last:
-                t2, pid2, rows2_k = intersect_rows_fn(nxt, active)
+                t2, pid2, rows2_k = intersect_rows_fn(
+                    nxt, active, **_refine_kw(intersect_rows_fn)
+                )
         else:
             pay_cat = jnp.concatenate(
                 list(sh_pays) + ([nxt] if not last else []), axis=1
@@ -698,7 +717,10 @@ def trace_tiled(
                     else []
                 )
             )
-            st, sid = intersect_fn(pay_cat, valid_cat, t_cap=caps_cat)
+            st, sid = intersect_fn(
+                pay_cat, valid_cat, t_cap=caps_cat,
+                **_refine_kw(intersect_fn),
+            )
             sh_t = st[: k * t_tiles].reshape(k, t_tiles, r)
             sh_id = sid[: k * t_tiles].reshape(k, t_tiles, r)
             blocked_mode = False

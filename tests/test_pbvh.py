@@ -156,3 +156,165 @@ def test_overlap_mask_conservative(default_scene):
                 )
             )
             assert not per_ray.any(), f"chunk {c} culled but has slab hits"
+
+
+# ----------------------------------------------------------------------
+# Per-ray cull refinement (refine=True paths; round 3)
+
+
+def test_refine_masks_agree_and_subset(teatime_scene):
+    """The Pallas refine kernel must reproduce the XLA per-ray mask
+    exactly, and both must be a subset of the tile-interval mask (the
+    per-ray slab for any live ray is contained in the tile's interval
+    product) while still covering every actual hit."""
+    from rt_rs_tpu.ops.pallas.packet_trace import (
+        _perray_overlap_kernel_call,
+        chunk_overlap_mask_cm,
+        chunk_overlap_mask_perray_cm,
+        packet_closest_hit_tiled,
+    )
+    import jax
+
+    cfg = ComputeConfig()
+    h = get_handler("pbvh", interpret=True)
+    accel, _ = h.build(teatime_scene, teatime_scene.pack())
+
+    rng = np.random.default_rng(11)
+    t_tiles, r = 32, 256
+    o = rng.normal(size=(3, t_tiles, r), scale=5.0).astype(np.float32)
+    d = rng.normal(size=(3, t_tiles, r)).astype(np.float32)
+    d[0, :, ::9] = 0.0  # axis-parallel rays (inf inverse clamp)
+    payload = jnp.concatenate(
+        [
+            jnp.asarray(o),
+            jnp.asarray(d),
+            jnp.zeros((2, t_tiles, r), jnp.float32),
+        ]
+    )
+    valid = jnp.asarray(rng.random((t_tiles, r)) > 0.3)
+    cap = jnp.asarray(
+        rng.uniform(1.0, 60.0, (t_tiles, r)).astype(np.float32)
+    )
+    kw = dict(t_min=cfg.t_min, t_max=cfg.t_max, t_cap=cap)
+
+    ov_x = chunk_overlap_mask_perray_cm(
+        payload[0:3], 1.0 / payload[3:6], valid,
+        accel.bmin, accel.bmax, **kw,
+    )
+    ov_k = _perray_overlap_kernel_call(
+        payload, valid, accel.bmin, accel.bmax, interpret=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ov_k), np.asarray(ov_x))
+
+    ov_int = chunk_overlap_mask_cm(
+        payload[0:3], 1.0 / payload[3:6], valid,
+        accel.bmin, accel.bmax, **kw,
+    )
+    assert not np.any(np.asarray(ov_k) & ~np.asarray(ov_int))
+
+    # Conservativeness: every sub-cap hit of the unrefined kernel ray
+    # must still be found with refine on.
+    t0, i0 = packet_closest_hit_tiled(
+        accel, payload, valid, cap,
+        t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps, interpret=True,
+    )
+    t1, i1 = packet_closest_hit_tiled(
+        accel, payload, valid, cap, refine=True,
+        t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps, interpret=True,
+    )
+    below = np.asarray(valid) & (np.asarray(t0) < np.asarray(cap))
+    np.testing.assert_array_equal(
+        np.asarray(t1)[below], np.asarray(t0)[below]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(i1)[below], np.asarray(i0)[below]
+    )
+
+
+@pytest.mark.parametrize("refine", ["off", "bounces", "all"])
+def test_refine_render_equal(teatime_scene, refine):
+    """Full jitted frames agree across refine modes to the suite's
+    cross-path tolerance.  The cull itself is exact (see the non-jit
+    bit-exact check below); under jit the extra refine kernel shifts
+    XLA fusion boundaries, which perturbs FMA contraction in
+    surrounding glue at the ~1-ULP level — same class of difference
+    as trace() vs trace_tiled()."""
+    res = Config(resolution=Resolution.sized(96, 64))
+    base = Renderer(
+        teatime_scene, config=res, handler="pbvh",
+        handler_kwargs=dict(interpret=True, refine="off"),
+    )
+    other = Renderer(
+        teatime_scene, config=res, handler="pbvh",
+        handler_kwargs=dict(interpret=True, refine=refine),
+    )
+    np.testing.assert_allclose(
+        np.asarray(other.render_frame()),
+        np.asarray(base.render_frame()),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_refine_trace_bit_exact(teatime_scene):
+    """Outside jit (eager trace_tiled), refine modes ARE bit-exact:
+    the refinement only prunes chunks the rays cannot hit, and the
+    kernel math per surviving chunk is untouched."""
+    import jax.numpy as _jnp
+    from rt_rs_tpu.ops import shade as _shade
+
+    cfg = ComputeConfig()
+    arrays = teatime_scene.pack()
+    colors = {}
+    for mode in ("off", "all"):
+        h = get_handler("pbvh", interpret=True, refine=mode)
+        accel, arr2 = h.build(teatime_scene, arrays)
+        tiso = h.intersect_tiled_fn(accel, arr2, cfg)
+        pos = _jnp.asarray(teatime_scene.camera.pos, _jnp.float32)
+        at = _jnp.asarray(teatime_scene.camera.at, _jnp.float32)
+        payload, valid, _ = _shade.camera_ray_tiles(
+            pos, at, 96, 64, 256, block=(16, 16)
+        )
+        colors[mode] = np.asarray(
+            _shade.trace_tiled(
+                arr2, tiso, cfg, payload, valid, pos, interpret=True
+            )
+        )
+    np.testing.assert_array_equal(colors["all"], colors["off"])
+
+
+def test_refine_segmented_bit_exact(teatime_scene):
+    """Segmented tables take the refined per-segment culls (with
+    per-ray chained caps) — chained segmented closest-hit must match
+    the unrefined result exactly."""
+    from rt_rs_tpu.ops.pallas.packet_trace import (
+        packet_closest_hit_segmented_tiled,
+        split_chunks,
+    )
+
+    cfg = ComputeConfig()
+    h = get_handler("pbvh", interpret=True)
+    accel, _ = h.build(teatime_scene, teatime_scene.pack())
+    seg = split_chunks(accel, max_seg_tris=1024)
+    rng = np.random.default_rng(3)
+    t_tiles, r = 32, 256
+    o = rng.normal(size=(3, t_tiles, r), scale=5.0).astype(np.float32)
+    d = rng.normal(size=(3, t_tiles, r)).astype(np.float32)
+    payload = jnp.concatenate(
+        [
+            jnp.asarray(o),
+            jnp.asarray(d),
+            jnp.zeros((2, t_tiles, r), jnp.float32),
+        ]
+    )
+    valid = jnp.asarray(rng.random((t_tiles, r)) > 0.3)
+    kw = dict(t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
+              interpret=True)
+    t0, i0 = packet_closest_hit_segmented_tiled(
+        seg, payload, valid, **kw
+    )
+    t1, i1 = packet_closest_hit_segmented_tiled(
+        seg, payload, valid, refine=True, **kw
+    )
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(t1)[v], np.asarray(t0)[v])
+    np.testing.assert_array_equal(np.asarray(i1)[v], np.asarray(i0)[v])
