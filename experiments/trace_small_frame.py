@@ -18,7 +18,10 @@ from rt_rs_tpu.renderer import Renderer
 from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.utils.sync import device_sync
 
-W, H = 384, 288
+import os
+
+W = int(os.environ.get("TRACE_W", 384))
+H = int(os.environ.get("TRACE_H", 288))
 TRACE_DIR = "/tmp/jax_trace_small"
 
 

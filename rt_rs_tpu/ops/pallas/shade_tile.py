@@ -87,13 +87,14 @@ def _hit_normal(C, o, d, t):
 def _pre_subgroup(
     g0,
     rows_ref, pay_ref, t_ref, pid_ref, lights_ref,
-    sh_refs, cap_refs, next_ref,
+    sh_refs, cap_refs, mask_refs, next_ref,
     k: int,
     emit_next: bool,
 ):
     """One subgroup of the shade_pre computation (shadow payload/cap
-    construction + reflection continuation); shared by the standalone
-    pre kernel and the fused bounce kernel."""
+    construction, zero-contribution cull mask + reflection
+    continuation); shared by the standalone pre kernel and the fused
+    bounce kernel."""
 
     def compute():
         C = lambda c: rows_ref[c, pl.ds(g0, SUBGROUP), :]
@@ -104,11 +105,14 @@ def _pre_subgroup(
         t = t_ref[pl.ds(g0, SUBGROUP), :]
         pid = pid_ref[pl.ds(g0, SUBGROUP), :]
         (hx, hy, hz), (nx, ny, nz) = _hit_normal(C, o, d, t)
+        dx, dy, dz = d
+        spec_pow = C(24)
 
         for li in range(k):
             lx = lights_ref[li, 0]
             ly = lights_ref[li, 1]
             lz = lights_ref[li, 2]
+            ls = lights_ref[li, 3]
             ddx, ddy, ddz = lx - hx, ly - hy, lz - hz
             s = ddx * ddx + ddy * ddy + ddz * ddz
             dist = jnp.sqrt(s)
@@ -127,6 +131,29 @@ def _pre_subgroup(
             # kernel (closest-hit kernels ignore it).
             sh_refs[li][7, pl.ds(g0, SUBGROUP), :] = dist
             cap_refs[li][pl.ds(g0, SUBGROUP), :] = dist
+            # Zero-contribution shadow cull: the blocked verdict is
+            # unobservable when BOTH of shade_post's terms for this
+            # light are zero — diffuse needs side > 0, specular needs
+            # sdot > 0 (pow(0, p) == 0 for p > 0; p <= 0 keeps the
+            # ray since pow(0, 0) == 1), and either needs strength
+            # > 0.  sdot is computed with the same op sequence as
+            # shade_post (compute.wgsl:160-175) so in interpret mode
+            # the predicate is exactly consistent; compiled Mosaic may
+            # contract FMAs differently, bounding any knife-edge
+            # divergence to an ~ULP-sized contribution (same class as
+            # the trace()/trace_tiled() drift, PERF.md).
+            eux, euy, euz = -ux, -uy, -uz
+            den = eux * nx + euy * ny + euz * nz
+            rfx = eux - 2.0 * den * nx
+            rfy = euy - 2.0 * den * ny
+            rfz = euz - 2.0 * den * nz
+            sdot = (-rfx) * dx + (-rfy) * dy + (-rfz) * dz
+            need = (ls > 0.0) & (
+                (side > 0.0) | (sdot > 0.0) | (spec_pow <= 0.0)
+            )
+            mask_refs[li][pl.ds(g0, SUBGROUP), :] = need.astype(
+                jnp.float32
+            )
 
         if emit_next:
             # reflect(d, n) = d - 2 dot(d, n) n, normalized
@@ -157,6 +184,7 @@ def _pre_subgroup(
             for c in range(8):
                 sh_refs[li][c, pl.ds(g0, SUBGROUP), :] = z8
             cap_refs[li][pl.ds(g0, SUBGROUP), :] = z8
+            mask_refs[li][pl.ds(g0, SUBGROUP), :] = z8
         if emit_next:
             for c in range(8):
                 next_ref[c, pl.ds(g0, SUBGROUP), :] = z8
@@ -171,21 +199,23 @@ def _shade_pre_kernel(
     t_ref,  # VMEM (G, r)
     pid_ref,  # VMEM (G, r) f32
     lights_ref,  # SMEM (k, 4): x, y, z, strength (headlight first)
-    *out_refs,  # k shadow payloads (8, G, r), k caps (G, r), [next (8, G, r)]
+    *out_refs,  # k shadow payloads (8, G, r), k caps (G, r),
+    # k contribution masks (G, r), [next (8, G, r)]
     num_lights: int,
     emit_next: bool,
 ):
     k = num_lights
     sh_refs = out_refs[:k]
     cap_refs = out_refs[k : 2 * k]
-    next_ref = out_refs[2 * k] if emit_next else None
+    mask_refs = out_refs[2 * k : 3 * k]
+    next_ref = out_refs[3 * k] if emit_next else None
     sg0 = pl.program_id(0) * (TILE_GROUP // SUBGROUP)
 
     def body(sg, _):
         g0 = sg * SUBGROUP
         compute, dead = _pre_subgroup(
             g0, rows_ref, pay_ref, t_ref, pid_ref, lights_ref,
-            sh_refs, cap_refs, next_ref, k, emit_next,
+            sh_refs, cap_refs, mask_refs, next_ref, k, emit_next,
         )
         jax.lax.cond(live_ref[sg0 + sg] > 0, compute, dead)
         return 0
@@ -334,7 +364,8 @@ def _shade_bounce_kernel(
     t2_ref,  # pre: (G, r)
     pid2_ref,  # pre: (G, r) f32
     lights_ref,  # SMEM (k, 4)
-    *out_refs,  # color (3,G,r), k shadow pays, k caps, [next (8,G,r)]
+    *out_refs,  # color (3,G,r), k shadow pays, k caps, k masks,
+    # [next (8,G,r)]
     num_lights: int,
     first_bounce: bool,
     t_min: float,
@@ -355,7 +386,8 @@ def _shade_bounce_kernel(
     color_ref = out_refs[0]
     sh_refs = out_refs[1 : 1 + k]
     cap_out_refs = out_refs[1 + k : 1 + 2 * k]
-    next_ref = out_refs[1 + 2 * k] if emit_next else None
+    mask_refs = out_refs[1 + 2 * k : 1 + 3 * k]
+    next_ref = out_refs[1 + 3 * k] if emit_next else None
     sg0 = pl.program_id(0) * (TILE_GROUP // SUBGROUP)
 
     def body(sg, _):
@@ -368,7 +400,7 @@ def _shade_bounce_kernel(
         jax.lax.cond(live_ref[0, sg0 + sg] > 0, post_c, post_d)
         pre_c, pre_d = _pre_subgroup(
             g0, rows2_ref, pay2_ref, t2_ref, pid2_ref, lights_ref,
-            sh_refs, cap_out_refs, next_ref, k, emit_next,
+            sh_refs, cap_out_refs, mask_refs, next_ref, k, emit_next,
         )
         jax.lax.cond(live_ref[1, sg0 + sg] > 0, pre_c, pre_d)
         return 0
@@ -398,8 +430,9 @@ def shade_bounce(
     blocked_mode: bool = False,
 ):
     """-> (color contribution [3,T,r] for bounce b,
-    shadow payloads [k][8,T,r], caps [k][T,r], next [8,T,r]|None
-    for bounce b+1) — one kernel instead of post + pre."""
+    shadow payloads [k][8,T,r], caps [k][T,r], contribution masks
+    [k][T,r], next [8,T,r]|None for bounce b+1) — one kernel instead
+    of post + pre."""
     k = int(lights.shape[0])
     t_tiles, r = t.shape
     (
@@ -409,7 +442,7 @@ def shade_bounce(
     out_shapes = (
         [jax.ShapeDtypeStruct((3, t_tiles, r), jnp.float32)]
         + [jax.ShapeDtypeStruct((8, t_tiles, r), jnp.float32)] * k
-        + [jax.ShapeDtypeStruct((t_tiles, r), jnp.float32)] * k
+        + [jax.ShapeDtypeStruct((t_tiles, r), jnp.float32)] * (2 * k)
         + (
             [jax.ShapeDtypeStruct((8, t_tiles, r), jnp.float32)]
             if emit_next
@@ -419,7 +452,7 @@ def shade_bounce(
     out_specs = (
         [color_spec]
         + [pay_spec] * k
-        + [tr_spec] * k
+        + [tr_spec] * (2 * k)
         + ([pay_spec] if emit_next else [])
     )
     kernel = partial(
@@ -452,8 +485,9 @@ def shade_bounce(
     color = outs[0]
     sh = outs[1 : 1 + k]
     cap_out = outs[1 + k : 1 + 2 * k]
-    nxt = outs[1 + 2 * k] if emit_next else None
-    return color, sh, cap_out, nxt
+    masks = outs[1 + 2 * k : 1 + 3 * k]
+    nxt = outs[1 + 3 * k] if emit_next else None
+    return color, sh, cap_out, masks, nxt
 
 
 def _grid_specs(t_tiles: int, r: int, k: int):
@@ -479,7 +513,13 @@ def shade_pre(
     emit_next: bool,
     interpret: bool = False,
 ):
-    """-> (shadow payloads [k][8,T,r], caps [k][T,r], next [8,T,r]|None)."""
+    """-> (shadow payloads [k][8,T,r], caps [k][T,r],
+    contribution masks [k][T,r] f32 1.0/0.0, next [8,T,r]|None).
+
+    A mask of 0.0 means this light cannot contribute to the ray's
+    color whatever the shadow verdict is (back-facing diffuse AND
+    zero specular) — the caller drops those shadow rays from the
+    intersect batch (zero-contribution shadow cull)."""
     k = int(lights.shape[0])
     t_tiles, r = t.shape
     (
@@ -487,11 +527,13 @@ def shade_pre(
     ) = _grid_specs(t_tiles, r, k)
     out_shapes = (
         [jax.ShapeDtypeStruct((8, t_tiles, r), jnp.float32)] * k
-        + [jax.ShapeDtypeStruct((t_tiles, r), jnp.float32)] * k
+        + [jax.ShapeDtypeStruct((t_tiles, r), jnp.float32)] * (2 * k)
         + ([jax.ShapeDtypeStruct((8, t_tiles, r), jnp.float32)] if emit_next else [])
     )
     out_specs = (
-        [pay_spec] * k + [tr_spec] * k + ([pay_spec] if emit_next else [])
+        [pay_spec] * k
+        + [tr_spec] * (2 * k)
+        + ([pay_spec] if emit_next else [])
     )
     kernel = partial(
         _shade_pre_kernel, num_lights=k, emit_next=emit_next
@@ -510,8 +552,9 @@ def shade_pre(
     )(live_sg, rows, payload, t, pid_f, lights)
     sh = outs[:k]
     caps = outs[k : 2 * k]
-    nxt = outs[2 * k] if emit_next else None
-    return sh, caps, nxt
+    masks = outs[2 * k : 3 * k]
+    nxt = outs[3 * k] if emit_next else None
+    return sh, caps, masks, nxt
 
 
 def shade_post(

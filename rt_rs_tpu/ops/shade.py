@@ -550,6 +550,7 @@ def trace_tiled(
     intersect_rows_fn: TiledIntersectFn | None = None,
     intersect_anyhit_fn: TiledIntersectFn | None = None,
     fuse_bounce: bool = False,
+    shadow_cull: bool = True,
 ) -> jax.Array:
     """The bounce loop over component-major ray tiles -> color [3, T, r].
 
@@ -569,7 +570,15 @@ def trace_tiled(
     bodies).  MEASURED flat-to-slightly-slower on real TPU at every
     size (the in-graph per-launch cost is smaller than the fused
     kernel's loss of cross-kernel pipelining; PERF.md round 3), so the
-    default is off; the knob and kernel remain for A/B coverage."""
+    default is off; the knob and kernel remain for A/B coverage.
+
+    ``shadow_cull`` (default on) drops shadow rays whose light cannot
+    contribute whatever the occlusion verdict is (back-facing diffuse
+    AND zero specular — shade_pre's per-light contribution mask): the
+    verdict of such a ray is multiplied by exactly-zero terms in
+    shade_post, so removing it from the intersect batch is
+    output-exact while the packet kernel's interval/per-ray culls
+    prune the dropped rays' chunk work."""
     from rt_rs_tpu.ops.pallas.shade_tile import (
         SUBGROUP,
         shade_bounce,
@@ -663,10 +672,21 @@ def trace_tiled(
         t, pid = intersect_fn(payload, valid)
     pid, rows, active, live_sg = liveness(t, pid, active, rows_k)
 
+    def shadow_valids(active, cmasks):
+        """Per-light shadow-ray validity: live AND the light can
+        contribute (zero-contribution cull — shade_pre's mask is 0
+        where BOTH shading terms are zero whatever the shadow verdict,
+        so dropping the ray from the intersect batch is exact; the
+        kernel's prelude/refine then prune those rays' chunks and
+        fully-culled tiles are skipped)."""
+        if not shadow_cull:
+            return [active] * k
+        return [active & (m > 0.0) for m in cmasks]
+
     # Bounce 0's shadow/reflection payloads (standalone pre; every
     # later pre fuses into the previous bounce's post when
     # fuse_bounce).
-    sh_pays, caps, nxt = shade_pre(
+    sh_pays, caps, cmasks, nxt = shade_pre(
         rows, payload, t, pid.astype(jnp.float32), live_sg, lights,
         emit_next=cfg.bounces > 1, interpret=interpret,
     )
@@ -680,7 +700,7 @@ def trace_tiled(
             # bound rides payload row 7), else closest-hit.  The next
             # bounce's closest hit is its own row-emitting call.
             sh_pay = jnp.concatenate(list(sh_pays), axis=1)
-            sh_valid = jnp.concatenate([active] * k)
+            sh_valid = jnp.concatenate(shadow_valids(active, cmasks))
             sh_caps = jnp.concatenate(list(caps))
             if intersect_anyhit_fn is not None:
                 blocked = intersect_anyhit_fn(
@@ -707,7 +727,8 @@ def trace_tiled(
                 list(sh_pays) + ([nxt] if not last else []), axis=1
             )
             valid_cat = jnp.concatenate(
-                [active] * (k + (0 if last else 1))
+                shadow_valids(active, cmasks)
+                + ([] if last else [active])
             )
             caps_cat = jnp.concatenate(
                 list(caps)
@@ -743,7 +764,7 @@ def trace_tiled(
         pid2, rows2, active2, live_sg2 = liveness(t2, pid2, active, rows2_k)
         emit_next2 = bounce + 2 < cfg.bounces
         if fuse_bounce:
-            contrib, sh_pays, caps, nxt2 = shade_bounce(
+            contrib, sh_pays, caps, cmasks, nxt2 = shade_bounce(
                 rows, payload, t, active.astype(jnp.float32),
                 sh_t, sh_id.astype(jnp.float32), caps_st,
                 rows2, nxt, t2, pid2.astype(jnp.float32),
@@ -763,7 +784,7 @@ def trace_tiled(
                 t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
                 blocked_mode=blocked_mode,
             )
-            sh_pays, caps, nxt2 = shade_pre(
+            sh_pays, caps, cmasks, nxt2 = shade_pre(
                 rows2, nxt, t2, pid2.astype(jnp.float32), live_sg2,
                 lights, emit_next=emit_next2, interpret=interpret,
             )
@@ -787,6 +808,7 @@ def render_tiled(
     intersect_rows_fn: TiledIntersectFn | None = None,
     intersect_anyhit_fn: TiledIntersectFn | None = None,
     fuse_bounce: bool = False,
+    shadow_cull: bool = True,
 ) -> jax.Array:
     """Full frame via the tiled path -> color [H, W, 3] float32.
 
@@ -798,7 +820,7 @@ def render_tiled(
         scene, intersect_fn, cfg, payload, valid, camera_pos,
         interpret=interpret, intersect_rows_fn=intersect_rows_fn,
         intersect_anyhit_fn=intersect_anyhit_fn,
-        fuse_bounce=fuse_bounce,
+        fuse_bounce=fuse_bounce, shadow_cull=shadow_cull,
     )
     flat = color.reshape(3, -1)[:, :n_pixels].T  # [n_pixels, 3]
     if block is not None:

@@ -52,7 +52,7 @@ DYNAMIC_TRI_CHUNK = 32
     jax.jit,
     static_argnames=(
         "handler", "cfg", "width", "height", "block", "force_rows",
-        "fuse_bounce",
+        "fuse_bounce", "shadow_cull",
     ),
 )
 def _render_jit(
@@ -68,6 +68,7 @@ def _render_jit(
     block: tuple[int, int] | None,
     force_rows: bool | None = None,
     fuse_bounce: bool = False,
+    shadow_cull: bool = True,
 ) -> jax.Array:
     if arrays.no_negative_materials:
         # Tiled frame path: rays stay in the packet kernel's
@@ -106,6 +107,7 @@ def _render_jit(
             intersect_rows_fn=rows_fn,
             intersect_anyhit_fn=anyhit_fn,
             fuse_bounce=fuse_bounce,
+            shadow_cull=shadow_cull,
         )
     # Scenes with real negative-material prims need the gather-based
     # shadow validity check — the XLA reference path.
@@ -129,14 +131,18 @@ class Renderer:
         block: tuple[int, int] | None | str = "auto",
         force_rows: bool | None = None,
         fuse_bounce: bool = False,
+        shadow_cull: bool = True,
     ):
         """``force_rows`` overrides the >= 400K-pixel heuristic for the
         kernel-emitted-rows intersect branch (None = heuristic);
         ``fuse_bounce=False`` disables the fused post+pre shading
-        kernel (A/B measurement knob)."""
+        kernel (A/B measurement knob); ``shadow_cull=False`` disables
+        the zero-contribution shadow-ray cull (A/B knob; the cull is
+        output-exact — shade.trace_tiled)."""
         self.scene = scene
         self.force_rows = force_rows
         self.fuse_bounce = fuse_bounce
+        self.shadow_cull = shadow_cull
         self.config = config or Config()
         if isinstance(handler, IntrsHandler):
             self.handler = handler
@@ -195,6 +201,7 @@ class Renderer:
             block=self.block,
             force_rows=self.force_rows,
             fuse_bounce=self.fuse_bounce,
+            shadow_cull=self.shadow_cull,
         )
         if block:
             device_sync(out)

@@ -344,3 +344,72 @@ def test_fused_bounce_single_bounce(teatime):
         cfg = _dc.replace(ComputeConfig(), bounces=b)
         old, new = _both_renders(teatime, "pbvh", cfg, 48, 32, (8, 16))
         np.testing.assert_allclose(new, old, atol=2e-5)
+
+
+def test_shadow_cull_bit_exact(teatime):
+    """Dropping zero-contribution shadow rays (back-facing diffuse AND
+    zero specular -> the occlusion verdict is multiplied by exactly
+    zero) must not change a single pixel, on both the fused-batch
+    gather path and the rows+any-hit path."""
+    cfg = ComputeConfig()
+    arrays = teatime.pack()
+    h = get_handler("pbvh", interpret=True)
+    accel, arr2 = h.build(teatime, arrays)
+    pos = jnp.asarray(teatime.camera.pos, jnp.float32)
+    at = jnp.asarray(teatime.camera.at, jnp.float32)
+    for rows_fn, anyhit_fn in (
+        (None, None),
+        (
+            h.intersect_tiled_rows_fn(accel, arr2, cfg),
+            h.intersect_tiled_anyhit_fn(accel, arr2, cfg),
+        ),
+    ):
+        culled = shade.render_tiled(
+            arr2, h.intersect_tiled_fn(accel, arr2, cfg), cfg, pos, at,
+            48, 32, ray_tile=128, block=(8, 16), interpret=True,
+            intersect_rows_fn=rows_fn, intersect_anyhit_fn=anyhit_fn,
+            shadow_cull=True,
+        )
+        full = shade.render_tiled(
+            arr2, h.intersect_tiled_fn(accel, arr2, cfg), cfg, pos, at,
+            48, 32, ray_tile=128, block=(8, 16), interpret=True,
+            intersect_rows_fn=rows_fn, intersect_anyhit_fn=anyhit_fn,
+            shadow_cull=False,
+        )
+        np.testing.assert_array_equal(np.asarray(culled), np.asarray(full))
+
+
+def test_shadow_cull_culls_something(teatime):
+    """The contribution masks must actually drop rays on real geometry
+    (a teapot's far side back-faces each light) — guards against the
+    mask degenerating to all-ones and the cull silently dying."""
+    from rt_rs_tpu.ops.pallas.shade_tile import shade_pre
+    from rt_rs_tpu.ops.shade import camera_ray_tiles
+
+    cfg = ComputeConfig()
+    arrays = teatime.pack()
+    h = get_handler("pbvh", interpret=True)
+    accel, arr2 = h.build(teatime, arrays)
+    pos = jnp.asarray(teatime.camera.pos, jnp.float32)
+    at = jnp.asarray(teatime.camera.at, jnp.float32)
+    payload, valid, _ = camera_ray_tiles(pos, at, 48, 32, 128, block=(8, 16))
+    t, pid = h.intersect_tiled_fn(accel, arr2, cfg)(payload, valid)
+    rows = arr2.shade_table[pid.reshape(-1)].T.reshape(32, *t.shape)
+    active = valid & (rows[25] != -1.0) & (t < cfg.t_max) & (t > cfg.t_min)
+    live_sg = (
+        active.reshape(t.shape[0] // 8, 8 * t.shape[1])
+        .any(axis=1)
+        .astype(jnp.int32)
+    )
+    lights = jnp.concatenate(
+        [arr2.light_pos, arr2.light_strength[:, None]], axis=1
+    ).astype(jnp.float32)
+    _, _, masks, _ = shade_pre(
+        rows, payload, t, pid.astype(jnp.float32), live_sg, lights,
+        emit_next=False, interpret=True,
+    )
+    live = np.asarray(active)
+    kept = np.asarray(jnp.stack(masks) > 0.0) & live[None]
+    n_live = live.sum() * len(masks)
+    n_kept = kept.sum()
+    assert 0 < n_kept < n_live  # some culled, not all
