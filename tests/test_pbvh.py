@@ -318,3 +318,20 @@ def test_refine_segmented_bit_exact(teatime_scene):
     v = np.asarray(valid)
     np.testing.assert_array_equal(np.asarray(t1)[v], np.asarray(t0)[v])
     np.testing.assert_array_equal(np.asarray(i1)[v], np.asarray(i0)[v])
+
+
+@pytest.mark.parametrize("tri_chunk", [16, 32])
+def test_pbvh_render_tri_chunk_variants(default_scene, tri_chunk):
+    """tri_chunk is a perf knob only (chunk-granularity re-sweeps,
+    PERF.md round 3) — full renders match naive at every size."""
+    cfg = Config(resolution=Resolution.sized(48, 32))
+    f_naive = np.asarray(
+        Renderer(default_scene, config=cfg, handler="naive").render_frame()
+    )
+    f_p = np.asarray(
+        Renderer(
+            default_scene, config=cfg, handler="pbvh",
+            handler_kwargs=dict(interpret=True, tri_chunk=tri_chunk),
+        ).render_frame()
+    )
+    np.testing.assert_allclose(f_p, f_naive, atol=1e-5)
