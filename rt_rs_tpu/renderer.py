@@ -288,6 +288,7 @@ class DynamicRenderer:
         refit: bool = False,
         force_rows: bool | None = None,
         tri_chunk: int | None = None,
+        refine: bool = True,
     ):
         """``force_rows`` overrides the >= 400K-pixel heuristic for the
         kernel-emitted-rows branch (tests force it at tiny sizes).
@@ -401,8 +402,17 @@ class DynamicRenderer:
                     eps=cfg.eps,
                     interpret=interpret,
                 )
+                # Per-ray cull refinement on bounce/shadow batches
+                # (trace_tiled keys off this tag — the static handlers
+                # set it in _tag_refine; without it dynamic frames ran
+                # round-2-style interval-only culling).  ``refine``
+                # knob = A/B measurement only.
+                kern.supports_refine = refine
                 rows_fn = partial(kern, emit_rows=True) if use_rows else None
                 anyhit_fn = partial(kern, any_hit=True) if use_rows else None
+                if rows_fn is not None:
+                    rows_fn.supports_refine = refine
+                    anyhit_fn.supports_refine = refine
                 return shade.render_tiled(
                     arrays, kern, cfg, camera_pos, camera_at,
                     width, height,
