@@ -127,6 +127,7 @@ class BvhIntrs(IntrsHandler):
         data: BvhData | None = None,
         path: str | None = None,
         backend: str = "auto",
+        refine: str = "bounces",
     ):
         """``BvhConfig`` parity: ``path``/``data`` = ``Bytes`` (a
         precomputed checkpoint, bvh.rs:54-64), ``eps`` = ``Runtime``,
@@ -137,7 +138,10 @@ class BvhIntrs(IntrsHandler):
         intersection through the Pallas packet kernel over the SAME
         leaf-ordered prims — the BVH/checkpoint still supplies the
         ordering), or ``"auto"`` (packet on TPU when the scene fits in
-        VMEM, threaded otherwise)."""
+        VMEM, threaded otherwise).
+
+        ``refine``: per-ray cull refinement policy for the packet
+        backend ("off"/"bounces"/"all" — see PacketBvhIntrs)."""
         self.eps = eps
         self.target_item_count = target_item_count
         self._data = data
@@ -146,6 +150,15 @@ class BvhIntrs(IntrsHandler):
                 self._data = BvhData.from_json(json.load(f))
         self.bvh_data: BvhData | None = self._data
         self.backend = backend
+        if refine not in ("off", "bounces", "all"):
+            raise ValueError(f"unknown refine mode {refine!r}")
+        self.refine = refine
+
+    def _tag_refine(self, fn):
+        if self.refine == "all":
+            fn = partial(fn, refine=True)
+        fn.supports_refine = self.refine != "off"
+        return fn
 
     def _use_packet(self, num_prims: int) -> bool:
         from rt_rs_tpu.ops.pallas.packet_trace import (
@@ -230,14 +243,14 @@ class BvhIntrs(IntrsHandler):
                 packet_closest_hit_tiled,
             )
 
-            return partial(
+            return self._tag_refine(partial(
                 packet_closest_hit_tiled,
                 accel.chunks,
                 t_min=cfg.t_min,
                 t_max=cfg.t_max,
                 eps=cfg.eps,
                 interpret=jax.default_backend() != "tpu",
-            )
+            ))
         return super().intersect_tiled_fn(accel, arrays, cfg)
 
     def intersect_tiled_rows_fn(
@@ -253,7 +266,7 @@ class BvhIntrs(IntrsHandler):
         if not resident_fits(accel.chunks, with_attrs=True):
             return None
 
-        return partial(
+        return self._tag_refine(partial(
             packet_closest_hit_tiled,
             accel.chunks,
             t_min=cfg.t_min,
@@ -261,7 +274,7 @@ class BvhIntrs(IntrsHandler):
             eps=cfg.eps,
             interpret=jax.default_backend() != "tpu",
             emit_rows=True,
-        )
+        ))
 
     def intersect_tiled_anyhit_fn(
         self, accel: BvhAccel, arrays: SceneArrays, cfg: ComputeConfig
@@ -272,7 +285,7 @@ class BvhIntrs(IntrsHandler):
             packet_closest_hit_tiled,
         )
 
-        return partial(
+        return self._tag_refine(partial(
             packet_closest_hit_tiled,
             accel.chunks,
             t_min=cfg.t_min,
@@ -280,7 +293,7 @@ class BvhIntrs(IntrsHandler):
             eps=cfg.eps,
             interpret=jax.default_backend() != "tpu",
             any_hit=True,
-        )
+        ))
 
 
 def _node_slab(o, inv_d, bmin, bmax):

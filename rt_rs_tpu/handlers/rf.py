@@ -76,6 +76,7 @@ class RfBvhIntrs(IntrsHandler):
         eps: float = 0.02,
         target_item_count: int = 4,
         backend: str = "auto",
+        refine: str = "bounces",
     ):
         """``RfBvhConfig`` parity: ``Eps(f32)`` or default eps = 0.02
         (rf.rs:16-19, 30-37); the item count is fixed at 4 in the
@@ -92,6 +93,17 @@ class RfBvhIntrs(IntrsHandler):
         self.backend = backend
         self.bvh_data: BvhData | None = None
         self.rf_data: RfData | None = None
+        # Per-ray cull refinement policy for the packet backend
+        # ("off"/"bounces"/"all" — see PacketBvhIntrs).
+        if refine not in ("off", "bounces", "all"):
+            raise ValueError(f"unknown refine mode {refine!r}")
+        self.refine = refine
+
+    def _tag_refine(self, fn):
+        if self.refine == "all":
+            fn = partial(fn, refine=True)
+        fn.supports_refine = self.refine != "off"
+        return fn
 
     @property
     def block_lanes(self) -> int:
@@ -204,14 +216,14 @@ class RfBvhIntrs(IntrsHandler):
                 packet_closest_hit_tiled,
             )
 
-            return partial(
+            return self._tag_refine(partial(
                 packet_closest_hit_tiled,
                 accel.chunks,
                 t_min=cfg.t_min,
                 t_max=cfg.t_max,
                 eps=cfg.eps,
                 interpret=jax.default_backend() != "tpu",
-            )
+            ))
         return super().intersect_tiled_fn(accel, arrays, cfg)
 
     def intersect_tiled_rows_fn(
@@ -227,7 +239,7 @@ class RfBvhIntrs(IntrsHandler):
         if not resident_fits(accel.chunks, with_attrs=True):
             return None
 
-        return partial(
+        return self._tag_refine(partial(
             packet_closest_hit_tiled,
             accel.chunks,
             t_min=cfg.t_min,
@@ -235,7 +247,7 @@ class RfBvhIntrs(IntrsHandler):
             eps=cfg.eps,
             interpret=jax.default_backend() != "tpu",
             emit_rows=True,
-        )
+        ))
 
     def intersect_tiled_anyhit_fn(
         self, accel: RfAccel, arrays: SceneArrays, cfg: ComputeConfig
@@ -246,7 +258,7 @@ class RfBvhIntrs(IntrsHandler):
             packet_closest_hit_tiled,
         )
 
-        return partial(
+        return self._tag_refine(partial(
             packet_closest_hit_tiled,
             accel.chunks,
             t_min=cfg.t_min,
@@ -254,7 +266,7 @@ class RfBvhIntrs(IntrsHandler):
             eps=cfg.eps,
             interpret=jax.default_backend() != "tpu",
             any_hit=True,
-        )
+        ))
 
 
 def _rf_intersect(

@@ -233,3 +233,21 @@ def test_handler_instance_reuse_across_scenes(default_scene, teatime_scene):
         jnp.asarray(o), jnp.asarray(d), excl, ones
     )
     np.testing.assert_allclose(np.asarray(t1), np.asarray(tref), rtol=1e-6)
+
+
+def test_bvh_packet_render_matches_naive(default_scene):
+    """Full render through the bvh handler's PACKET backend (tiled +
+    per-ray refine tags, the TPU fast path) must match naive — covers
+    the refine-tagged tiled/rows/any-hit entries the AoS test cannot."""
+    cfg = Config(resolution=Resolution.sized(48, 32))
+    f_naive = np.asarray(
+        Renderer(default_scene, config=cfg, handler="naive").render_frame()
+    )
+    for refine in ("bounces", "all", "off"):
+        f_p = np.asarray(
+            Renderer(
+                default_scene, config=cfg, handler="bvh",
+                handler_kwargs=dict(backend="packet", refine=refine),
+            ).render_frame()
+        )
+        np.testing.assert_allclose(f_p, f_naive, atol=1e-5)

@@ -181,3 +181,20 @@ def test_rf_footprint_matches_published(teatime_scene):
     a_rf, _ = rf.build(teatime_scene, arrays)
     assert bvh.stats(a_bvh).size == 381840
     assert rf.stats(a_rf).size == 110528
+
+
+def test_rf_packet_render_matches_naive(default_scene):
+    """Full render through the rf_bvh handler's PACKET backend (tiled +
+    per-ray refine tags) must match naive."""
+    cfg = Config(resolution=Resolution.sized(48, 32))
+    f_naive = np.asarray(
+        Renderer(default_scene, config=cfg, handler="naive").render_frame()
+    )
+    for refine in ("bounces", "off"):
+        f_p = np.asarray(
+            Renderer(
+                default_scene, config=cfg, handler="rf_bvh",
+                handler_kwargs=dict(backend="packet", refine=refine),
+            ).render_frame()
+        )
+        np.testing.assert_allclose(f_p, f_naive, atol=1e-5)
