@@ -83,3 +83,39 @@ if PART in ("all", "rt"):
                 f"384x288 ray_tile={rt} block={rt//bw}x{bw}: "
                 f"{orbit(r, 60):.2f} ms", flush=True,
             )
+
+if PART in ("all", "dual"):
+    # Dual-granularity tables: coarse tc=64 primaries + fine tc for the
+    # per-ray-refined bounce/shadow batches (DualTriChunks).
+    rs = {
+        fine: Renderer(
+            Scene.load(SCENE),
+            config=Config(resolution=Resolution.sized(384, 288)),
+            handler="pbvh",
+            handler_kwargs=(
+                {} if fine is None else dict(tri_chunk_fine=fine)
+            ),
+        )
+        for fine in (None, 32, 16, 8)
+    }
+    for rep in range(2):
+        for fine, r in rs.items():
+            print(f"384x288 dual fine={fine}: {orbit(r, 60):.2f} ms",
+                  flush=True)
+
+if PART in ("all", "dual1080"):
+    rs = {
+        fine: Renderer(
+            Scene.load(SCENE),
+            config=Config(resolution=Resolution.sized(1920, 1080)),
+            handler="pbvh",
+            handler_kwargs=(
+                {} if fine is None else dict(tri_chunk_fine=fine)
+            ),
+        )
+        for fine in (None, 16)
+    }
+    for rep in range(2):
+        for fine, r in rs.items():
+            print(f"1080p dual fine={fine}: {orbit(r, 12):.1f} ms",
+                  flush=True)

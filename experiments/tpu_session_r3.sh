@@ -23,8 +23,12 @@ run python -u experiments/refine_ab.py small
 # 5. tri_chunk + ray_tile re-sweeps
 run python -u experiments/tc_resweep.py small
 run python -u experiments/tc_resweep.py rt
+run python -u experiments/tc_resweep.py dual
 run python -u experiments/tc_resweep.py 1080
+run python -u experiments/tc_resweep.py dual1080
 run python -u experiments/tc_resweep.py seg
-# 6. headline bench
+# 6. blank-handler in-graph decomposition (the small-frame fixed cost)
+run env TRACE_W=384 TRACE_H=288 python -u experiments/trace_small_frame.py blank
+# 7. headline bench
 run python bench.py
 echo "ALL DONE $(date)" >> "$LOG"

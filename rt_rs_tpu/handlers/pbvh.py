@@ -59,6 +59,7 @@ class PacketBvhIntrs(IntrsHandler):
         cull_block: int | None = None,
         ray_tile: int | None = None,
         tri_chunk: int | None = None,
+        tri_chunk_fine: int | None = None,
         streaming_mode: str = "segmented",
         chain: bool = True,
         refine: str = "bounces",
@@ -74,6 +75,11 @@ class PacketBvhIntrs(IntrsHandler):
         self.cull_block = cull_block
         self.ray_tile = ray_tile
         self.tri_chunk = tri_chunk
+        # Dual-granularity tables (resident scenes only): a second,
+        # finer chunk table serving the per-ray-refined bounce/shadow
+        # batches, where finer chunks cut swept tri-slots ~2x at the
+        # same exact results (see DualTriChunks).  None = single table.
+        self.tri_chunk_fine = tri_chunk_fine
         if streaming_mode not in ("segmented", "dma"):
             raise ValueError(f"unknown streaming_mode {streaming_mode!r}")
         self.streaming_mode = streaming_mode
@@ -99,6 +105,24 @@ class PacketBvhIntrs(IntrsHandler):
         if self.refine == "all":
             fn = partial(fn, refine=True)
         fn.supports_refine = self.refine != "off"
+        return fn
+
+    def _dual_dispatch(self, accel, **fixed):
+        """Refine-keyed table dispatch for DualTriChunks: primaries
+        (refine=False) sweep the coarse table, per-ray-refined
+        bounce/shadow batches the fine one.  Bit-consistent — see
+        DualTriChunks."""
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            packet_closest_hit_tiled,
+        )
+
+        coarse = partial(packet_closest_hit_tiled, accel.coarse, **fixed)
+        fine = partial(packet_closest_hit_tiled, accel.fine, **fixed)
+
+        def fn(payload, valid, t_cap=None, refine=False, **kw):
+            tbl = fine if refine else coarse
+            return tbl(payload, valid, t_cap, refine=refine, **kw)
+
         return fn
 
     @property
@@ -149,20 +173,33 @@ class PacketBvhIntrs(IntrsHandler):
             from rt_rs_tpu.ops.pallas.packet_trace import split_chunks
 
             return split_chunks(chunks), arrays
+        if self.tri_chunk_fine is not None and not self._streaming:
+            from rt_rs_tpu.ops.pallas.packet_trace import DualTriChunks
+
+            fine = build_tri_chunks(
+                arrays.pa, arrays.pb, arrays.pc,
+                max_chunks=None, tri_chunk=self.tri_chunk_fine,
+                shade_rows=np.asarray(arrays.shade_table),
+            )
+            return DualTriChunks(coarse=chunks, fine=fine), arrays
         return chunks, arrays
 
     def stats(self, accel) -> IntrsStats:
-        from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            DualTriChunks,
+            SegmentedTriChunks,
+        )
 
         # Honest device footprint: the lane-padded chunk table
         # [Nc, tc, 128] f32 (512 B/tri) + bounds — what actually
         # occupies VMEM/HBM, comparable with BVH's 48 B/node and RF's
-        # 16 B/record numbers.
-        parts = (
-            accel.segments
-            if isinstance(accel, SegmentedTriChunks)
-            else (accel,)
-        )
+        # 16 B/record numbers.  Dual tables report both.
+        if isinstance(accel, DualTriChunks):
+            parts = (accel.coarse, accel.fine)
+        elif isinstance(accel, SegmentedTriChunks):
+            parts = accel.segments
+        else:
+            parts = (accel,)
         size = int(
             sum(
                 np.prod(p.comp.shape) * 4
@@ -174,8 +211,13 @@ class PacketBvhIntrs(IntrsHandler):
         return IntrsStats(name="Packet-BVH", size=size)
 
     def intersect_fn(self, accel, arrays: SceneArrays, cfg: ComputeConfig):
-        from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            DualTriChunks,
+            SegmentedTriChunks,
+        )
 
+        if isinstance(accel, DualTriChunks):
+            accel = accel.coarse  # the AoS adapter has no refine split
         if isinstance(accel, SegmentedTriChunks):
             # The resident kernel per VMEM-sized pre-sliced segment,
             # with per-tile exact culling.
@@ -233,6 +275,7 @@ class PacketBvhIntrs(IntrsHandler):
         from rt_rs_tpu.ops.pallas.packet_trace import (
             MAX_VMEM_CHUNKS,
             TRI_CHUNK,
+            DualTriChunks,
             SegmentedTriChunks,
             packet_closest_hit_segmented_tiled,
             packet_closest_hit_tiled,
@@ -241,6 +284,11 @@ class PacketBvhIntrs(IntrsHandler):
         kwargs = {}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
+        if isinstance(accel, DualTriChunks):
+            return self._tag_refine(self._dual_dispatch(
+                accel, t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
+                interpret=self.interpret, **kwargs,
+            ))
         if isinstance(accel, SegmentedTriChunks):
             fn = packet_closest_hit_segmented_tiled
             kwargs["chain"] = self.chain
@@ -261,6 +309,7 @@ class PacketBvhIntrs(IntrsHandler):
 
     def intersect_tiled_rows_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
+            DualTriChunks,
             SegmentedTriChunks,
             TriChunks,
             packet_closest_hit_segmented_tiled,
@@ -271,6 +320,31 @@ class PacketBvhIntrs(IntrsHandler):
         kwargs = {}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
+        if isinstance(accel, DualTriChunks):
+            if accel.coarse.attr_t is None or not resident_fits(
+                accel.coarse, with_attrs=True
+            ):
+                return None
+            fixed = dict(
+                t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
+                interpret=self.interpret, emit_rows=True, **kwargs,
+            )
+            if accel.fine.attr_t is not None and resident_fits(
+                accel.fine, with_attrs=True
+            ):
+                fn = self._dual_dispatch(accel, **fixed)
+            else:
+                # The fine attr table (16 KB/chunk) would blow the
+                # rows-kernel VMEM budget: rows calls stay on the
+                # coarse table at every refine setting (still exact).
+                coarse = partial(
+                    packet_closest_hit_tiled, accel.coarse, **fixed
+                )
+
+                def fn(payload, valid, t_cap=None, refine=False, **kw):
+                    return coarse(payload, valid, t_cap, refine=refine, **kw)
+
+            return self._tag_refine(fn)
         if isinstance(accel, SegmentedTriChunks):
             # Per-segment rows + min-t winner select (still bit-exact;
             # see packet_closest_hit_segmented_tiled).
@@ -309,6 +383,7 @@ class PacketBvhIntrs(IntrsHandler):
 
     def intersect_tiled_anyhit_fn(self, accel, arrays, cfg: ComputeConfig):
         from rt_rs_tpu.ops.pallas.packet_trace import (
+            DualTriChunks,
             SegmentedTriChunks,
             TriChunks,
             packet_closest_hit_segmented_tiled,
@@ -319,6 +394,13 @@ class PacketBvhIntrs(IntrsHandler):
         kwargs = {}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
+        if isinstance(accel, DualTriChunks):
+            if not resident_fits(accel.coarse):
+                return None
+            return self._tag_refine(self._dual_dispatch(
+                accel, t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
+                interpret=self.interpret, any_hit=True, **kwargs,
+            ))
         if isinstance(accel, SegmentedTriChunks):
             fn = packet_closest_hit_segmented_tiled  # OR-merged blocked
             kwargs["chain"] = self.chain

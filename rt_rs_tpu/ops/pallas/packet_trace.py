@@ -111,18 +111,40 @@ class TriChunks:
     attr_t: jax.Array | None = None
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DualTriChunks:
+    """Two chunk tables over the SAME dense leaf order at different
+    granularities: ``coarse`` (tc=64 — amortizes per-entry cost on
+    coherent primaries) and ``fine`` (smaller tc — per-ray refine culls
+    divergent bounce/shadow batches far tighter per swept tri-slot;
+    experiments/chunk_partition.py).  Because packing is dense, a
+    triangle's global prim id (``1 + c*tc + sub`` = leaf index + 1) is
+    IDENTICAL in both tables, and the per-(tri, ray) intersection
+    arithmetic does not depend on tc — so the tables are bit-consistent
+    and the dispatch choice (by the trace_tiled ``refine`` flag) is
+    unobservable in outputs."""
+
+    coarse: TriChunks
+    fine: TriChunks
+
+
 def resident_fits(chunks: "TriChunks", with_attrs: bool = False) -> bool:
     """Whether a chunk table fits the VMEM-resident kernel budget.
 
     ``with_attrs`` accounts for the attr_t table the emit_rows kernel
-    additionally holds (+50% VMEM per triangle): the rows path is only
-    offered up to 2/3 of the plain cap; beyond that, callers fall back
-    to the gather path (correct, slightly slower)."""
-    tris = chunks.num_chunks * int(chunks.comp.shape[1])
-    cap = MAX_VMEM_CHUNKS * TRI_CHUNK
-    if with_attrs:
-        cap = (cap * 2) // 3
-    return tris <= cap
+    additionally holds; beyond the cap, callers fall back to the
+    gather path (correct, slightly slower).  Budgeted in bytes so the
+    accounting stays honest at non-default chunk heights: comp costs
+    512 B/tri at ANY tc (the 9 components lane-pad to 128), but attr_t
+    is a fixed 16 KB/chunk (32 x 128 lanes), i.e. 16384/tc B/tri — 4x
+    the tc=64 rate at tc=16.  At tc=64 this reproduces the historical
+    caps exactly (12,288 tris plain / 8,192 with attrs)."""
+    tc = int(chunks.comp.shape[1])
+    tris = chunks.num_chunks * tc
+    per_tri = 512 + ((32 * LANES * 4) // tc if with_attrs else 0)
+    budget = MAX_VMEM_CHUNKS * TRI_CHUNK * 512  # bytes
+    return tris * per_tri <= budget
 
 
 def build_tri_chunks(

@@ -335,3 +335,27 @@ def test_pbvh_render_tri_chunk_variants(default_scene, tri_chunk):
         ).render_frame()
     )
     np.testing.assert_allclose(f_p, f_naive, atol=1e-5)
+
+
+def test_pbvh_dual_tables_bit_exact(default_scene):
+    """Dual-granularity tables (coarse for primaries, fine for refine
+    batches — DualTriChunks) must not change a single pixel on either
+    the gather or the rows+any-hit path: prim ids are tc-invariant in
+    dense leaf order and the per-(tri, ray) arithmetic is identical."""
+    cfg = Config(resolution=Resolution.sized(48, 32))
+    for force_rows in (None, True):
+        f0 = np.asarray(
+            Renderer(
+                default_scene, config=cfg, handler="pbvh",
+                force_rows=force_rows,
+                handler_kwargs=dict(interpret=True),
+            ).render_frame()
+        )
+        f1 = np.asarray(
+            Renderer(
+                default_scene, config=cfg, handler="pbvh",
+                force_rows=force_rows,
+                handler_kwargs=dict(interpret=True, tri_chunk_fine=16),
+            ).render_frame()
+        )
+        np.testing.assert_array_equal(f1, f0)
