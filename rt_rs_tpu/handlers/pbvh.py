@@ -111,13 +111,21 @@ class PacketBvhIntrs(IntrsHandler):
         """Refine-keyed table dispatch for DualTriChunks: primaries
         (refine=False) sweep the coarse table, per-ray-refined
         bounce/shadow batches the fine one.  Bit-consistent — see
-        DualTriChunks."""
+        DualTriChunks.  Works for resident AND segmented tables (the
+        segmented entry additionally threads the chain knob)."""
         from rt_rs_tpu.ops.pallas.packet_trace import (
+            SegmentedTriChunks,
+            packet_closest_hit_segmented_tiled,
             packet_closest_hit_tiled,
         )
 
-        coarse = partial(packet_closest_hit_tiled, accel.coarse, **fixed)
-        fine = partial(packet_closest_hit_tiled, accel.fine, **fixed)
+        if isinstance(accel.coarse, SegmentedTriChunks):
+            base = packet_closest_hit_segmented_tiled
+            fixed = dict(fixed, chain=self.chain)
+        else:
+            base = packet_closest_hit_tiled
+        coarse = partial(base, accel.coarse, **fixed)
+        fine = partial(base, accel.fine, **fixed)
 
         def fn(payload, valid, t_cap=None, refine=False, **kw):
             tbl = fine if refine else coarse
@@ -166,21 +174,32 @@ class PacketBvhIntrs(IntrsHandler):
             max_chunks=None, tri_chunk=tri_chunk,
             shade_rows=(None if dma else np.asarray(arrays.shade_table)),
         )
+        # The optional fine table (divergent refine batches) carries NO
+        # attr table: rows calls fall back to the coarse table (still
+        # exact), keeping the fine table at the plain VMEM cap and its
+        # segments at full size.
+        fine = None
+        if self.tri_chunk_fine is not None and not dma:
+            from rt_rs_tpu.ops.pallas.packet_trace import DualTriChunks
+
+            fine = build_tri_chunks(
+                arrays.pa, arrays.pb, arrays.pc,
+                max_chunks=None, tri_chunk=self.tri_chunk_fine,
+            )
         if self._streaming and self.streaming_mode == "segmented":
             # Pre-slice on concrete arrays so the per-frame graph
             # carries no table-slice copies.  Segments are sized to the
             # with-attrs VMEM cap so each can run the rows kernel.
             from rt_rs_tpu.ops.pallas.packet_trace import split_chunks
 
-            return split_chunks(chunks), arrays
-        if self.tri_chunk_fine is not None and not self._streaming:
-            from rt_rs_tpu.ops.pallas.packet_trace import DualTriChunks
-
-            fine = build_tri_chunks(
-                arrays.pa, arrays.pb, arrays.pc,
-                max_chunks=None, tri_chunk=self.tri_chunk_fine,
-                shade_rows=np.asarray(arrays.shade_table),
-            )
+            segs = split_chunks(chunks)
+            if fine is not None:
+                return (
+                    DualTriChunks(coarse=segs, fine=split_chunks(fine)),
+                    arrays,
+                )
+            return segs, arrays
+        if fine is not None:
             return DualTriChunks(coarse=chunks, fine=fine), arrays
         return chunks, arrays
 
@@ -194,12 +213,15 @@ class PacketBvhIntrs(IntrsHandler):
         # [Nc, tc, 128] f32 (512 B/tri) + bounds — what actually
         # occupies VMEM/HBM, comparable with BVH's 48 B/node and RF's
         # 16 B/record numbers.  Dual tables report both.
+        def flat(a):
+            return (
+                a.segments if isinstance(a, SegmentedTriChunks) else (a,)
+            )
+
         if isinstance(accel, DualTriChunks):
-            parts = (accel.coarse, accel.fine)
-        elif isinstance(accel, SegmentedTriChunks):
-            parts = accel.segments
+            parts = flat(accel.coarse) + flat(accel.fine)
         else:
-            parts = (accel,)
+            parts = flat(accel)
         size = int(
             sum(
                 np.prod(p.comp.shape) * 4
@@ -321,30 +343,11 @@ class PacketBvhIntrs(IntrsHandler):
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):
-            if accel.coarse.attr_t is None or not resident_fits(
-                accel.coarse, with_attrs=True
-            ):
-                return None
-            fixed = dict(
-                t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
-                interpret=self.interpret, emit_rows=True, **kwargs,
-            )
-            if accel.fine.attr_t is not None and resident_fits(
-                accel.fine, with_attrs=True
-            ):
-                fn = self._dual_dispatch(accel, **fixed)
-            else:
-                # The fine attr table (16 KB/chunk) would blow the
-                # rows-kernel VMEM budget: rows calls stay on the
-                # coarse table at every refine setting (still exact).
-                coarse = partial(
-                    packet_closest_hit_tiled, accel.coarse, **fixed
-                )
-
-                def fn(payload, valid, t_cap=None, refine=False, **kw):
-                    return coarse(payload, valid, t_cap, refine=refine, **kw)
-
-            return self._tag_refine(fn)
+            # The fine table carries no attr table (build), so rows
+            # calls run entirely on the coarse table — the Dual rows
+            # fn IS the single-table rows fn (still exact; only the
+            # non-rows bounce/shadow calls ride the fine table).
+            return self.intersect_tiled_rows_fn(accel.coarse, arrays, cfg)
         if isinstance(accel, SegmentedTriChunks):
             # Per-segment rows + min-t winner select (still bit-exact;
             # see packet_closest_hit_segmented_tiled).
@@ -370,8 +373,13 @@ class PacketBvhIntrs(IntrsHandler):
         ))
 
     def rows_default(self, accel, n_pixels: int) -> bool:
-        from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            DualTriChunks,
+            SegmentedTriChunks,
+        )
 
+        if isinstance(accel, DualTriChunks):
+            accel = accel.coarse  # rows always run on the coarse table
         if isinstance(accel, SegmentedTriChunks):
             # Per-segment row emission + winner select LOSES on real
             # TPU at every size measured (50K-tri 640x480: 273 -> 334
@@ -395,7 +403,9 @@ class PacketBvhIntrs(IntrsHandler):
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):
-            if not resident_fits(accel.coarse):
+            if isinstance(accel.coarse, TriChunks) and not resident_fits(
+                accel.coarse
+            ):
                 return None
             return self._tag_refine(self._dual_dispatch(
                 accel, t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,

@@ -337,6 +337,87 @@ def test_pbvh_render_tri_chunk_variants(default_scene, tri_chunk):
     np.testing.assert_allclose(f_p, f_naive, atol=1e-5)
 
 
+def test_dual_tables_segmented_dispatch(teatime_scene):
+    """Dual tables over SEGMENTED (beyond-VMEM) chunk tables: the
+    refine-keyed dispatch must route refine batches to the fine
+    segments and primaries to the coarse ones, with results equal to
+    the single-table segmented kernel (prim ids are tc-invariant in
+    dense leaf order, and refinement only prunes unhittable chunks)."""
+    from rt_rs_tpu.ops.pallas.packet_trace import (
+        DualTriChunks,
+        SegmentedTriChunks,
+        build_tri_chunks,
+        packet_closest_hit_segmented_tiled,
+        split_chunks,
+    )
+
+    cfg = ComputeConfig()
+    h = get_handler("pbvh", interpret=True, tri_chunk_fine=16)
+    arrays = teatime_scene.pack()
+    coarse, arr2 = h.build(teatime_scene, arrays)
+    assert isinstance(coarse, DualTriChunks)
+    fine16 = build_tri_chunks(
+        arr2.pa, arr2.pb, arr2.pc, max_chunks=None, tri_chunk=16
+    )
+    dual = DualTriChunks(
+        coarse=split_chunks(coarse.coarse, max_seg_tris=1024),
+        fine=split_chunks(fine16, max_seg_tris=1024),
+    )
+    assert isinstance(dual.coarse, SegmentedTriChunks)
+    # Segmented dual tables never take the rows path by default (rows
+    # LOSE on segmented scenes, PERF.md round 3) but keep the coarse
+    # table's any-hit/rows entries available.
+    assert h.rows_default(dual, 10**9) is False
+    tiso = h.intersect_tiled_fn(dual, arr2, cfg)
+    assert tiso.supports_refine
+
+    rng = np.random.default_rng(7)
+    t_tiles, r = 32, 256
+    payload = jnp.concatenate(
+        [
+            jnp.asarray(
+                rng.normal(size=(3, t_tiles, r), scale=5.0), jnp.float32
+            ),
+            jnp.asarray(rng.normal(size=(3, t_tiles, r)), jnp.float32),
+            jnp.zeros((2, t_tiles, r), jnp.float32),
+        ]
+    )
+    valid = jnp.asarray(rng.random((t_tiles, r)) > 0.3)
+    kw = dict(t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
+              interpret=True)
+    v = np.asarray(valid)
+    for refine, tbl in ((False, dual.coarse), (True, dual.fine)):
+        t0, i0 = packet_closest_hit_segmented_tiled(
+            tbl, payload, valid, refine=refine, **kw
+        )
+        t1, i1 = tiso(payload, valid, refine=refine)
+        np.testing.assert_array_equal(np.asarray(t1)[v], np.asarray(t0)[v])
+        np.testing.assert_array_equal(np.asarray(i1)[v], np.asarray(i0)[v])
+
+
+def test_dual_tables_segmented_build():
+    """A beyond-VMEM scene built with tri_chunk_fine pre-slices BOTH
+    granularities into segments (fine ones at full plain-table size —
+    no attr tables)."""
+    from rt_rs_tpu.ops.pallas.packet_trace import (
+        DualTriChunks,
+        SegmentedTriChunks,
+    )
+    from tests.test_stream import _soup
+
+    rng = np.random.default_rng(52)
+    scene = _soup(rng, 16000, scale=20.0)
+    h = get_handler("pbvh", interpret=True, tri_chunk_fine=16)
+    accel, _ = h.build(scene, scene.pack())
+    assert isinstance(accel, DualTriChunks)
+    assert isinstance(accel.coarse, SegmentedTriChunks)
+    assert isinstance(accel.fine, SegmentedTriChunks)
+    assert all(s.attr_t is not None for s in accel.coarse.segments)
+    assert all(s.attr_t is None for s in accel.fine.segments)
+    # Footprint stats account for every segment of both tables.
+    assert h.stats(accel).size > h.stats(accel.coarse).size
+
+
 def test_pbvh_dual_tables_bit_exact(default_scene):
     """Dual-granularity tables (coarse for primaries, fine for refine
     batches — DualTriChunks) must not change a single pixel on either
