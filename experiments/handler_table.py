@@ -26,7 +26,7 @@ def orbit_ms(r, frames=40):
 if __name__ == "__main__":
     for name in ("default", "teatime"):
         scene_path = f"/root/reference/scenes/{name}.json"
-        for handler in ("blank", "naive", "bvh", "rf_bvh", "pbvh"):
+        for handler in ("blank", "naive", "bvh", "rf_bvh", "pbvh", "lbvh"):
             frames = 40 if handler != "naive" else 6
             r = Renderer(
                 Scene.load(scene_path),

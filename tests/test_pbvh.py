@@ -394,6 +394,16 @@ def test_dual_tables_segmented_dispatch(teatime_scene):
         np.testing.assert_array_equal(np.asarray(t1)[v], np.asarray(t0)[v])
         np.testing.assert_array_equal(np.asarray(i1)[v], np.asarray(i0)[v])
 
+    # Any-hit rides the same refine-keyed dual dispatch.
+    ah = h.intersect_tiled_anyhit_fn(dual, arr2, cfg)
+    assert ah.supports_refine
+    for refine, tbl in ((False, dual.coarse), (True, dual.fine)):
+        b0 = packet_closest_hit_segmented_tiled(
+            tbl, payload, valid, any_hit=True, refine=refine, **kw
+        )
+        b1 = ah(payload, valid, refine=refine)
+        np.testing.assert_array_equal(np.asarray(b1)[v], np.asarray(b0)[v])
+
 
 def test_dual_tables_segmented_build():
     """A beyond-VMEM scene built with tri_chunk_fine pre-slices BOTH
