@@ -9,10 +9,11 @@ hardware:
   ``src/lib/state/mod.rs:704-708``);
 * the BVH is a set of flat HBM/VMEM-resident arrays, not pointer-linked
   nodes (reference: ``src/lib/bvh/mod.rs:11-27``);
-* traversal runs as a Pallas *packet* kernel — a tile of rays shares a
-  scalar stack in SMEM while slab/triangle tests are VPU vector ops over
-  the tile (reference: per-thread private stack DFS,
-  ``src/lib/handlers/bvh.rs:303-350``);
+* traversal runs as a Pallas *packet* kernel — per-tile conservative
+  chunk culling (interval + per-ray slab refinement) with argsort
+  compaction outside the kernel, dense Möller–Trumbore lattices over
+  (chunk, ray-tile) blocks inside it (reference: per-thread private
+  stack DFS, ``src/lib/handlers/bvh.rs:303-350``);
 * shading, shadow rays and the bounce loop are pure jitted JAX
   (reference: ``src/lib/shaders/compute.wgsl:219-293``);
 * multi-chip scaling shards the image across a ``jax.sharding.Mesh``
