@@ -119,3 +119,25 @@ if PART in ("all", "dual1080"):
         for fine, r in rs.items():
             print(f"1080p dual fine={fine}: {orbit(r, 12):.1f} ms",
                   flush=True)
+
+if PART in ("all", "dualseg"):
+    # Segmented dual tables on the 50K-tri canyon: per-ray refine won
+    # 3x here (PERF.md round 3); finer refine chunks may compound.
+    big = big_scene()
+    rs = {
+        fine: Renderer(
+            big,
+            config=Config(resolution=Resolution.sized(640, 480)),
+            handler="pbvh",
+            handler_kwargs=(
+                {} if fine is None else dict(tri_chunk_fine=fine)
+            ),
+        )
+        for fine in (None, 32, 16)
+    }
+    for rep in range(2):
+        for fine, r in rs.items():
+            print(
+                f"seg 640x480 dual fine={fine}: "
+                f"{orbit(r, 12):.1f} ms orbit", flush=True,
+            )

@@ -27,6 +27,8 @@ run python -u experiments/tc_resweep.py dual
 run python -u experiments/tc_resweep.py 1080
 run python -u experiments/tc_resweep.py dual1080
 run python -u experiments/tc_resweep.py seg
+run python -u experiments/tc_resweep.py dualseg
+run python -u experiments/rows_crossover.py
 # 6. blank-handler in-graph decomposition (the small-frame fixed cost)
 run env TRACE_W=384 TRACE_H=288 python -u experiments/trace_small_frame.py blank
 # 7. headline bench

@@ -147,6 +147,20 @@ def main() -> int:
     ).render_frame()
     check("DMA streaming vs segmented @160x120", dma, seg_gather)
 
+    # Dual-granularity tables (coarse for primaries, fine for refine
+    # batches) must be unobservable in outputs — resident AND
+    # segmented (DualTriChunks bit-consistency, compiled kernels).
+    dual = Renderer(
+        scene, config=cfg_small, handler="pbvh",
+        handler_kwargs={"tri_chunk_fine": 16},
+    ).render_frame()
+    check("dual tables vs single @160x120", dual, unfused)
+    seg_dual = Renderer(
+        big, config=cfg_small, handler="pbvh",
+        handler_kwargs={"tri_chunk_fine": 16},
+    ).render_frame()
+    check("segmented dual vs single @160x120", seg_dual, seg_gather)
+
     # DynamicRenderer (on-device LBVH rebuild + refit) at the rest pose
     # must match the static packet render of the same scene.
     from rt_rs_tpu.renderer import DynamicRenderer
