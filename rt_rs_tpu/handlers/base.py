@@ -114,8 +114,13 @@ class IntrsHandler(abc.ABC):
 
     def rows_default(self, accel: Any, n_pixels: int) -> bool:
         """Should the frame take the kernel-emitted-rows branch when the
-        caller didn't force it?  The measured crossover is ~300K rays
-        (PERF.md: 1080p 87 -> 76 ms, 384x288 would LOSE 9.4 -> 10.1);
-        backends whose rows path regresses regardless of size (e.g.
-        segmented tables) override this to stay on the gather path."""
-        return n_pixels >= 400_000
+        caller didn't force it?  Round 2b measured a ~300K-ray
+        crossover, but the round-3 re-sweep (per-ray refine + shadow
+        cull reshaped the secondary calls the rows path splits) shows
+        rows matching or beating the gather path at EVERY size
+        (experiments/rows_crossover.py: 384x288 5.35 vs 5.41, 640x480
+        10.5 vs 12.0, 1080p 52.6 vs 67.3 ms) — so resident tables
+        default to rows unconditionally.  Backends whose rows path
+        regresses regardless of size (e.g. segmented tables) override
+        this to stay on the gather path."""
+        return True

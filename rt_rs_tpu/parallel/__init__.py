@@ -65,8 +65,9 @@ def make_sharded_render(
 
     Per band the step takes the SAME fast-path branches as the
     single-chip ``Renderer._render_jit``: kernel-emitted rows +
-    any-hit shadows when the band is >= 400K pixels (``force_rows``
-    overrides the heuristic).  ``resolution`` (a
+    any-hit shadows per the handler's ``rows_default`` on the band's
+    pixel count (rows for resident tables, gather for segmented;
+    ``force_rows`` overrides).  ``resolution`` (a
     :class:`rt_rs_tpu.config.Resolution`) supplies the user's ``wg``
     pixel-block tuning; default wg=16.
     """

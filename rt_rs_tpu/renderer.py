@@ -77,9 +77,10 @@ def _render_jit(
         # bounce loop was the 1080p bottleneck — PERF.md round 2b).
         #
         # Kernel-emitted hit rows (skipping the XLA row gathers, at the
-        # cost of splitting shadow and closest-hit calls) win only when
-        # the gathers are big enough: crossover measured at ~300K rays
-        # (PERF.md; 1080p 87 -> 76 ms, 384x288 would LOSE 9.4 -> 10.1).
+        # cost of splitting shadow and closest-hit calls) now win at
+        # every size for resident tables (round-3 re-sweep, PERF.md);
+        # handler.rows_default keeps segmented tables on the gather
+        # path (measured regression there).
         rows_fn = None
         anyhit_fn = None
         use_rows = (
@@ -133,8 +134,9 @@ class Renderer:
         fuse_bounce: bool = False,
         shadow_cull: bool = True,
     ):
-        """``force_rows`` overrides the >= 400K-pixel heuristic for the
-        kernel-emitted-rows intersect branch (None = heuristic);
+        """``force_rows`` overrides the handler's rows_default for the
+        kernel-emitted-rows intersect branch (None = rows for resident
+        tables, gather for segmented — the measured defaults);
         ``fuse_bounce=False`` disables the fused post+pre shading
         kernel (A/B measurement knob); ``shadow_cull=False`` disables
         the zero-contribution shadow-ray cull (A/B knob; the cull is
@@ -292,6 +294,10 @@ class DynamicRenderer:
     ):
         """``force_rows`` overrides the >= 400K-pixel heuristic for the
         kernel-emitted-rows branch (tests force it at tiny sizes).
+        Unlike the static Renderer (rows at every size, round-3
+        re-sweep), the dynamic path keeps the size threshold: rows add
+        a PER-FRAME attr-table build here, whose small-frame cost is
+        not covered by the static measurement.
         ``tri_chunk`` overrides the kernel chunk height (default: the
         tuned constant; refit mode may prefer smaller chunks when the
         geometry drifts far from the rest pose, since stale Morton
@@ -358,9 +364,11 @@ class DynamicRenderer:
                 nb=corner(vert_norm, 1),
                 nc=corner(vert_norm, 2),
             ).rebuild_shade_table()
-            # Kernel-emitted rows win only at >= 400K pixels (PERF.md
-            # crossover); the per-frame attr-table build is skipped
-            # below it.  Same VMEM cap as the static handlers.
+            # Static resident tables now take rows at every size
+            # (round-3 re-sweep), but the dynamic path pays a
+            # PER-FRAME attr-table build for rows — keep the 400K
+            # threshold here until that cost is measured at small
+            # sizes.  Same VMEM cap as the static handlers.
             from rt_rs_tpu.ops.pallas.packet_trace import (
                 MAX_VMEM_CHUNKS,
                 TRI_CHUNK,

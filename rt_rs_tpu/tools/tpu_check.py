@@ -5,8 +5,8 @@ re-renders the golden scenes with every accelerated handler through the
 real Mosaic-compiled kernels and diffs against ``tests/goldens`` (the
 verify-skill recipe, scripted), then cross-checks:
 
-* the >=400K-pixel rows/any-hit path against the gather path at
-  1024x512;
+* the rows/any-hit path (the resident-table default at every size)
+  against the gather path at 1024x512;
 * the fused bounce kernel against the two-kernel path;
 * a beyond-VMEM (segmented) scene: gather vs rows/any-hit vs the DMA
   streaming kernel;
@@ -54,9 +54,8 @@ def main() -> int:
                 flush=True,
             )
 
-    # Rows/any-hit path (>= 400K pixels) vs the gather path: the same
-    # scene at two sizes straddling the threshold must agree after
-    # downsampling is irrelevant — instead render one size both ways.
+    # Rows/any-hit path vs the gather path: render one size both ways
+    # (force_rows pins each branch regardless of defaults).
     import jax.numpy as jnp
 
     from rt_rs_tpu.config import ComputeConfig

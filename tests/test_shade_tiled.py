@@ -295,8 +295,9 @@ def test_segmented_render_rows_path(teatime):
 def test_segmented_rows_default_off(teatime):
     """Segmented tables default to the gather path at EVERY size (the
     per-segment rows emission measured slower on TPU regardless of
-    pixel count — PERF.md round 3); resident tables keep the 400K
-    crossover.  force_rows=True still overrides."""
+    pixel count — PERF.md round 3); resident tables default to rows at
+    every size (round-3 re-sweep: rows match or win from 384x288 up).
+    force_rows still overrides both."""
     from rt_rs_tpu.handlers import get_handler as gh
     from rt_rs_tpu.ops.pallas.packet_trace import split_chunks
 
@@ -304,7 +305,7 @@ def test_segmented_rows_default_off(teatime):
     accel, _ = h.build(teatime, teatime.pack())
     seg = split_chunks(accel, max_seg_tris=2048)
     assert h.rows_default(accel, 2_073_600) is True
-    assert h.rows_default(accel, 110_592) is False
+    assert h.rows_default(accel, 110_592) is True
     assert h.rows_default(seg, 2_073_600) is False
     assert h.rows_default(seg, 110_592) is False
 
