@@ -1158,6 +1158,122 @@ def split_chunks(
     )
 
 
+def flatten_segments(accel) -> TriChunks:
+    """The single flat chunk table behind any accel variant (host-side).
+
+    Segments were sliced from one table at build time, so concatenating
+    them along the chunk axis reproduces it exactly; Dual tables flatten
+    to their coarse member (the fine table is a perf twin over the same
+    id space).  Used by the scene-parallel sharder, which re-splits the
+    flat table evenly across mesh shards."""
+    if isinstance(accel, DualTriChunks):
+        accel = accel.coarse
+    if isinstance(accel, TriChunks):
+        return accel
+    if isinstance(accel, SegmentedTriChunks):
+        segs = accel.segments
+        attr = None
+        if all(s.attr_t is not None for s in segs):
+            attr = jnp.asarray(
+                np.concatenate([np.asarray(s.attr_t) for s in segs])
+            )
+        return TriChunks(
+            comp=jnp.asarray(
+                np.concatenate([np.asarray(s.comp) for s in segs])
+            ),
+            bmin=jnp.asarray(
+                np.concatenate([np.asarray(s.bmin) for s in segs])
+            ),
+            bmax=jnp.asarray(
+                np.concatenate([np.asarray(s.bmax) for s in segs])
+            ),
+            num_chunks=sum(s.num_chunks for s in segs),
+            attr_t=attr,
+        )
+    raise TypeError(f"no flat chunk table behind {type(accel).__name__}")
+
+
+def pad_chunk_count(chunks: TriChunks, multiple: int) -> TriChunks:
+    """Pad a (concrete) chunk table with never-hit chunks so the chunk
+    count divides ``multiple`` (host-side; the scene-parallel sharder
+    needs equal per-shard slices).  Pad chunks follow the builder's
+    convention: zero components (det = 0, always miss) and inverted
+    bounds (+max/-max, culled by every overlap test)."""
+    nc = chunks.num_chunks
+    nc_pad = -(-nc // multiple) * multiple
+    if nc_pad == nc:
+        return chunks
+    extra = nc_pad - nc
+    tc = int(chunks.comp.shape[1])
+    fmax = np.float32(np.finfo(np.float32).max)
+    comp = np.concatenate(
+        [np.asarray(chunks.comp), np.zeros((extra, tc, LANES), np.float32)]
+    )
+    bmin = np.concatenate(
+        [np.asarray(chunks.bmin), np.full((extra, 3), fmax, np.float32)]
+    )
+    bmax = np.concatenate(
+        [np.asarray(chunks.bmax), np.full((extra, 3), -fmax, np.float32)]
+    )
+    attr = None
+    if chunks.attr_t is not None:
+        attr = jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(chunks.attr_t),
+                    np.zeros((extra, 32, LANES), np.float32),
+                ]
+            )
+        )
+    return TriChunks(
+        comp=jnp.asarray(comp),
+        bmin=jnp.asarray(bmin),
+        bmax=jnp.asarray(bmax),
+        num_chunks=nc_pad,
+        attr_t=attr,
+    )
+
+
+def split_chunks_traced(
+    chunks: TriChunks,
+    max_seg_tris: int | None = None,
+) -> SegmentedTriChunks:
+    """:func:`split_chunks` on traced arrays (static-index jnp slices).
+
+    For use INSIDE jit/shard_map — e.g. a scene-parallel shard whose
+    local chunk slice exceeds the VMEM-resident cap and must run the
+    segmented kernel.  Slicing inside the jit was measured equivalent
+    to pre-slicing (PERF.md), so this carries no hot-path penalty."""
+    nc = chunks.num_chunks
+    tc = int(chunks.comp.shape[1])
+    if max_seg_tris is None:
+        max_seg_tris = MAX_VMEM_CHUNKS * TRI_CHUNK
+        if chunks.attr_t is not None:
+            max_seg_tris = (max_seg_tris * 2) // 3
+    seg_chunks = max(
+        CHUNK_ALIGN, (max_seg_tris // tc) // CHUNK_ALIGN * CHUNK_ALIGN
+    )
+    segments = []
+    bases = []
+    for s0 in range(0, nc, seg_chunks):
+        s1 = min(nc, s0 + seg_chunks)
+        segments.append(
+            TriChunks(
+                comp=chunks.comp[s0:s1],
+                bmin=chunks.bmin[s0:s1],
+                bmax=chunks.bmax[s0:s1],
+                num_chunks=s1 - s0,
+                attr_t=(
+                    None if chunks.attr_t is None else chunks.attr_t[s0:s1]
+                ),
+            )
+        )
+        bases.append(s0 * tc)
+    return SegmentedTriChunks(
+        segments=tuple(segments), prim_base=tuple(bases)
+    )
+
+
 def _check_total_prims_f32(seg: "SegmentedTriChunks") -> None:
     """Global prim ids (and exclusion ids fed to per-segment kernels)
     must stay exactly representable in f32 (< 2^24); the per-call

@@ -7,7 +7,11 @@ import jax
 
 from rt_rs_tpu.config import ComputeConfig, Config, Resolution
 from rt_rs_tpu.handlers import get_handler
-from rt_rs_tpu.parallel import image_mesh, make_sharded_render
+from rt_rs_tpu.parallel import (
+    hybrid_mesh,
+    image_mesh,
+    make_sharded_render,
+)
 from rt_rs_tpu.renderer import Renderer
 from rt_rs_tpu.scene import Scene
 
@@ -139,3 +143,71 @@ def test_sharded_rows_anyhit_path_matches_single(default_scene):
         ).render_frame()
     )
     np.testing.assert_allclose(frame, single, atol=1e-5)
+
+
+def _single_frame(scene, cfg, w, h, **hkw):
+    return np.asarray(
+        Renderer(
+            scene,
+            config=Config(compute=cfg, resolution=Resolution.sized(w, h)),
+            handler="pbvh",
+            handler_kwargs=hkw,
+        ).render_frame()
+    )
+
+
+def test_scene_parallel_rows_matches_single(default_scene):
+    """2-D mesh (2 bands x 4 scene shards): the chunk table splits
+    across the scene axis (tri_chunk=8 -> 32 chunks -> 8 real chunks
+    per shard) and per-call pmin/pmax merges reproduce the sequential
+    semantics.  Default path = kernel-emitted rows + any-hit (attrs
+    present), full fidelity with bounces so exclusion ids cross the
+    shard shift."""
+    w, h = 64, 32
+    cfg = ComputeConfig(bounces=2)
+    handler = get_handler("pbvh", tri_chunk=8)
+    arrays = default_scene.pack()
+    accel, arrays = handler.build(default_scene, arrays)
+
+    mesh = hybrid_mesh(2, 4)
+    fn = make_sharded_render(handler, accel, arrays, cfg, w, h, mesh)
+    frame, _ = fn(
+        jnp.asarray(default_scene.camera.pos, jnp.float32),
+        jnp.asarray(default_scene.camera.at, jnp.float32),
+    )
+    single = _single_frame(default_scene, cfg, w, h, tri_chunk=8)
+    np.testing.assert_allclose(np.asarray(frame), single, atol=1e-5)
+
+
+def test_scene_parallel_gather_path_matches_single(default_scene):
+    """Scene-parallel closest-hit merge on the gather path (rows
+    forced off -> fused shadow+bounce batches through the plain
+    min-t + pid tie-break merge), 4 bands x 2 shards."""
+    w, h = 64, 32
+    cfg = ComputeConfig(bounces=2)
+    handler = get_handler("pbvh", tri_chunk=8)
+    arrays = default_scene.pack()
+    accel, arrays = handler.build(default_scene, arrays)
+
+    mesh = hybrid_mesh(4, 2)
+    fn = make_sharded_render(
+        handler, accel, arrays, cfg, w, h, mesh, force_rows=False
+    )
+    frame, _ = fn(
+        jnp.asarray(default_scene.camera.pos, jnp.float32),
+        jnp.asarray(default_scene.camera.at, jnp.float32),
+    )
+    single = _single_frame(default_scene, cfg, w, h, tri_chunk=8)
+    np.testing.assert_allclose(np.asarray(frame), single, atol=1e-5)
+
+
+def test_scene_parallel_requires_packet_table(default_scene):
+    """Backends without a flat chunk table can't shard the scene axis."""
+    cfg = ComputeConfig()
+    handler = get_handler("naive")
+    arrays = default_scene.pack()
+    accel, arrays = handler.build(default_scene, arrays)
+    with pytest.raises(TypeError):
+        make_sharded_render(
+            handler, accel, arrays, cfg, 16, 8, hybrid_mesh(2, 4)
+        )
