@@ -189,10 +189,16 @@ class LbvhIntrs(IntrsHandler):
     def build(self, scene: Scene, arrays: SceneArrays):
         # Attrs only when the table still fits the emit-rows VMEM
         # budget (the resident_fits with_attrs cap); larger scenes drop
-        # to the gather path exactly like pbvh.
+        # to the gather path exactly like pbvh.  Non-finite shade rows
+        # (degenerate-geometry NaN normals) would poison whole tiles
+        # through the rows matmul — same gather fallback as
+        # build_tri_chunks (this build runs on device, so the host
+        # check happens here, on the concrete packed arrays).
         tris = arrays.pa.shape[0] - 1
         cap = (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
-        with_attrs = tris <= cap
+        with_attrs = tris <= cap and bool(
+            jnp.isfinite(arrays.shade_table).all()
+        )
         chunks, arrays = jax.jit(
             partial(
                 build_accel_device,

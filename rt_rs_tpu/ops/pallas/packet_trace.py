@@ -211,6 +211,21 @@ def build_tri_chunks(
     bmax = tri_max.reshape(nc, tri_chunk, 3).max(axis=1)
 
     attr_t = None
+    if shade_rows is not None and not np.isfinite(shade_rows).all():
+        # The emit-rows pass is an attr x 0/1-match matmul; a NaN/inf
+        # attr value poisons EVERY ray of every tile that sweeps its
+        # chunk (NaN * 0 = NaN), not just rays hitting that prim.
+        # Degenerate OBJ faces yield NaN smooth normals (reference
+        # parity: v3.rs normalize divides by a zero magnitude), so such
+        # scenes must stay on the gather path, where a NaN row reaches
+        # only the pixels that actually hit the degenerate prim.
+        from rt_rs_tpu.utils.log import logger
+
+        logger.info(
+            "shade table has non-finite values (degenerate geometry); "
+            "kernel-emitted rows disabled, using the gather path"
+        )
+        shade_rows = None
     if shade_rows is not None:
         rows = np.asarray(shade_rows, dtype=np.float32)[1:]  # drop sentinel
         rows = np.pad(rows, ((0, nc * tri_chunk - p), (0, 0)))

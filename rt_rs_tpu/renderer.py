@@ -375,6 +375,12 @@ class DynamicRenderer:
             )
 
             n_tris = base.pa.shape[0] - 1
+            # Rest-pose finiteness gate: non-finite shade rows poison
+            # whole tiles through the rows matmul (see build_tri_chunks).
+            # The per-frame table is rebuilt from caller-supplied
+            # normals — callers animating degenerate geometry should
+            # pass force_rows=False.
+            finite_rest = bool(np.isfinite(base.shade_table).all())
             use_rows = (
                 (
                     width * height >= 400_000
@@ -382,6 +388,7 @@ class DynamicRenderer:
                     else force_rows
                 )
                 and base.no_negative_materials
+                and finite_rest
                 and n_tris <= (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
             )
             # Dynamic frames prefer SMALLER chunks than static scenes:

@@ -450,3 +450,38 @@ def test_pbvh_dual_tables_bit_exact(default_scene):
             ).render_frame()
         )
         np.testing.assert_array_equal(f1, f0)
+
+
+def test_nonfinite_shade_table_falls_back_to_gather(scenes_dir):
+    """Degenerate geometry regression (round 3): an OBJ face with zero
+    area imports with NaN smooth normals (reference parity — v3.rs
+    normalize divides by a zero magnitude).  The emit-rows matmul would
+    spread that NaN to EVERY ray of every tile sweeping the chunk
+    (NaN * 0 = NaN), so a non-finite shade table must drop the attr
+    table and keep the scene on the gather path, where NaN reaches only
+    pixels that actually hit the degenerate prim (cessna showed this
+    wholesale at 130/7447 NaN prims)."""
+    scene = Scene.load(str(scenes_dir / "default.json"))
+    scene.vert_norm = scene.vert_norm.copy()
+    scene.vert_norm[0] = np.nan  # the degenerate-face import outcome
+
+    h = get_handler("pbvh", interpret=True)
+    arrays = scene.pack()
+    accel, arrays2 = h.build(scene, arrays)
+    assert accel.attr_t is None  # gather fallback at build
+    assert h.intersect_tiled_rows_fn(accel, arrays2, ComputeConfig()) is None
+
+    cfg = Config(
+        compute=ComputeConfig(bounces=2),
+        resolution=Resolution.sized(48, 32),
+    )
+    f_p = np.asarray(
+        Renderer(scene, config=cfg, handler="pbvh").render_frame()
+    )
+    f_n = np.asarray(
+        Renderer(scene, config=cfg, handler="naive").render_frame()
+    )
+    # equal_nan: NaN must appear at exactly the naive path's pixels.
+    np.testing.assert_allclose(f_p, f_n, atol=1e-5)
+    # ...and the frame is not NaN-poisoned wholesale.
+    assert np.nan_to_num(f_p).sum() > 0
