@@ -176,10 +176,9 @@ class LbvhIntrs(IntrsHandler):
         self.refine = refine
 
     def _tag_refine(self, fn):
-        if self.refine == "all":
-            fn = partial(fn, refine=True)
-        fn.supports_refine = self.refine != "off"
-        return fn
+        from rt_rs_tpu.ops.pallas.packet_trace import tag_refine
+
+        return tag_refine(fn, self.refine)
 
     @property
     def block_lanes(self) -> int:
@@ -194,10 +193,12 @@ class LbvhIntrs(IntrsHandler):
         # through the rows matmul — same gather fallback as
         # build_tri_chunks (this build runs on device, so the host
         # check happens here, on the concrete packed arrays).
+        import numpy as _np
+
         tris = arrays.pa.shape[0] - 1
         cap = (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
         with_attrs = tris <= cap and bool(
-            jnp.isfinite(arrays.shade_table).all()
+            _np.isfinite(_np.asarray(arrays.shade_table)).all()
         )
         chunks, arrays = jax.jit(
             partial(

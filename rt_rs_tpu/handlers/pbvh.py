@@ -99,13 +99,11 @@ class PacketBvhIntrs(IntrsHandler):
         self.bvh_data: BvhData | None = self._data
 
     def _tag_refine(self, fn):
-        """Mark a tiled-entry partial with the refine policy: bake
-        refine=True for "all" (call-site kwargs still override) and
-        advertise support so trace_tiled opts bounce batches in."""
-        if self.refine == "all":
-            fn = partial(fn, refine=True)
-        fn.supports_refine = self.refine != "off"
-        return fn
+        """Mark a tiled-entry partial with the refine policy (shared
+        helper; see packet_trace.tag_refine)."""
+        from rt_rs_tpu.ops.pallas.packet_trace import tag_refine
+
+        return tag_refine(fn, self.refine)
 
     def _dual_dispatch(self, accel, **fixed):
         """Refine-keyed table dispatch for DualTriChunks: primaries

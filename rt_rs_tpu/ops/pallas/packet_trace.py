@@ -1140,112 +1140,97 @@ def split_chunks(
     own buffer (see SegmentedTriChunks).  A table carrying the
     emit-rows attribute table is sliced along with it, and the default
     segment size shrinks to the with-attrs VMEM cap so every segment
-    can still run the rows/any-hit kernels."""
-    nc = chunks.num_chunks
-    tc = int(chunks.comp.shape[1])
-    if max_seg_tris is None:
-        max_seg_tris = MAX_VMEM_CHUNKS * TRI_CHUNK
-        if chunks.attr_t is not None:
-            max_seg_tris = (max_seg_tris * 2) // 3
-    seg_chunks = max(
-        CHUNK_ALIGN, (max_seg_tris // tc) // CHUNK_ALIGN * CHUNK_ALIGN
-    )
-    segments = []
-    bases = []
-    for s0 in range(0, nc, seg_chunks):
-        s1 = min(nc, s0 + seg_chunks)
-        segments.append(
-            TriChunks(
-                comp=jnp.asarray(np.asarray(chunks.comp[s0:s1])),
-                bmin=jnp.asarray(np.asarray(chunks.bmin[s0:s1])),
-                bmax=jnp.asarray(np.asarray(chunks.bmax[s0:s1])),
-                num_chunks=s1 - s0,
-                attr_t=(
-                    None
-                    if chunks.attr_t is None
-                    else jnp.asarray(np.asarray(chunks.attr_t[s0:s1]))
-                ),
-            )
-        )
-        bases.append(s0 * tc)
+    can still run the rows/any-hit kernels.  The slicing/sizing policy
+    lives in :func:`split_chunks_traced` (the in-jit twin); this
+    wrapper only materializes each slice as its own buffer."""
+
+    def concrete(a):
+        return None if a is None else jnp.asarray(np.asarray(a))
+
+    seg = split_chunks_traced(chunks, max_seg_tris)
     return SegmentedTriChunks(
-        segments=tuple(segments), prim_base=tuple(bases)
+        segments=tuple(
+            TriChunks(
+                comp=concrete(s.comp),
+                bmin=concrete(s.bmin),
+                bmax=concrete(s.bmax),
+                num_chunks=s.num_chunks,
+                attr_t=concrete(s.attr_t),
+            )
+            for s in seg.segments
+        ),
+        prim_base=seg.prim_base,
     )
 
 
-def flatten_segments(accel) -> TriChunks:
+def tag_refine(fn, mode: str):
+    """Mark a tiled-entry callable with the refine policy so
+    ``ops.shade.trace_tiled`` can opt bounce/shadow batches into the
+    per-ray cull: bake ``refine=True`` for mode ``"all"`` (call-site
+    kwargs still override) and advertise support for ``"bounces"``.
+    Shared by every backend that exposes tiled entries (pbvh, lbvh,
+    the scene-parallel wrappers)."""
+    if mode not in ("off", "bounces", "all"):
+        raise ValueError(f"unknown refine mode {mode!r}")
+    if mode == "all":
+        fn = partial(fn, refine=True)
+    fn.supports_refine = mode != "off"
+    return fn
+
+
+def flatten_segments(accel, pad_multiple: int = 1) -> TriChunks:
     """The single flat chunk table behind any accel variant (host-side).
 
     Segments were sliced from one table at build time, so concatenating
     them along the chunk axis reproduces it exactly; Dual tables flatten
     to their coarse member (the fine table is a perf twin over the same
-    id space).  Used by the scene-parallel sharder, which re-splits the
-    flat table evenly across mesh shards."""
+    id space).  ``pad_multiple`` appends never-hit chunks at the tail
+    (builder convention: zero components -> det 0, inverted bounds ->
+    always culled) so the chunk count divides it — the scene-parallel
+    sharder needs equal per-shard slices.  All assembly happens in
+    host numpy with ONE device conversion at the end (these tables can
+    be hundreds of MB for beyond-VMEM scenes)."""
     if isinstance(accel, DualTriChunks):
         accel = accel.coarse
     if isinstance(accel, TriChunks):
-        return accel
-    if isinstance(accel, SegmentedTriChunks):
-        segs = accel.segments
-        attr = None
-        if all(s.attr_t is not None for s in segs):
-            attr = jnp.asarray(
-                np.concatenate([np.asarray(s.attr_t) for s in segs])
-            )
-        return TriChunks(
-            comp=jnp.asarray(
-                np.concatenate([np.asarray(s.comp) for s in segs])
-            ),
-            bmin=jnp.asarray(
-                np.concatenate([np.asarray(s.bmin) for s in segs])
-            ),
-            bmax=jnp.asarray(
-                np.concatenate([np.asarray(s.bmax) for s in segs])
-            ),
-            num_chunks=sum(s.num_chunks for s in segs),
-            attr_t=attr,
+        parts = (accel,)
+    elif isinstance(accel, SegmentedTriChunks):
+        parts = accel.segments
+    else:
+        raise TypeError(
+            f"no flat chunk table behind {type(accel).__name__}"
         )
-    raise TypeError(f"no flat chunk table behind {type(accel).__name__}")
-
-
-def pad_chunk_count(chunks: TriChunks, multiple: int) -> TriChunks:
-    """Pad a (concrete) chunk table with never-hit chunks so the chunk
-    count divides ``multiple`` (host-side; the scene-parallel sharder
-    needs equal per-shard slices).  Pad chunks follow the builder's
-    convention: zero components (det = 0, always miss) and inverted
-    bounds (+max/-max, culled by every overlap test)."""
-    nc = chunks.num_chunks
-    nc_pad = -(-nc // multiple) * multiple
-    if nc_pad == nc:
-        return chunks
-    extra = nc_pad - nc
-    tc = int(chunks.comp.shape[1])
-    fmax = np.float32(np.finfo(np.float32).max)
-    comp = np.concatenate(
-        [np.asarray(chunks.comp), np.zeros((extra, tc, LANES), np.float32)]
-    )
-    bmin = np.concatenate(
-        [np.asarray(chunks.bmin), np.full((extra, 3), fmax, np.float32)]
-    )
-    bmax = np.concatenate(
-        [np.asarray(chunks.bmax), np.full((extra, 3), -fmax, np.float32)]
-    )
+    comp = np.concatenate([np.asarray(s.comp) for s in parts])
+    bmin = np.concatenate([np.asarray(s.bmin) for s in parts])
+    bmax = np.concatenate([np.asarray(s.bmax) for s in parts])
     attr = None
-    if chunks.attr_t is not None:
-        attr = jnp.asarray(
-            np.concatenate(
-                [
-                    np.asarray(chunks.attr_t),
-                    np.zeros((extra, 32, LANES), np.float32),
-                ]
-            )
+    if all(s.attr_t is not None for s in parts):
+        attr = np.concatenate([np.asarray(s.attr_t) for s in parts])
+    nc = sum(s.num_chunks for s in parts)
+    nc_pad = -(-nc // pad_multiple) * pad_multiple
+    if nc_pad != nc:
+        extra = nc_pad - nc
+        tc = comp.shape[1]
+        fmax = np.float32(np.finfo(np.float32).max)
+        comp = np.concatenate(
+            [comp, np.zeros((extra, tc, LANES), np.float32)]
         )
+        bmin = np.concatenate(
+            [bmin, np.full((extra, 3), fmax, np.float32)]
+        )
+        bmax = np.concatenate(
+            [bmax, np.full((extra, 3), -fmax, np.float32)]
+        )
+        if attr is not None:
+            attr = np.concatenate(
+                [attr, np.zeros((extra, 32, LANES), np.float32)]
+            )
     return TriChunks(
         comp=jnp.asarray(comp),
         bmin=jnp.asarray(bmin),
         bmax=jnp.asarray(bmax),
         num_chunks=nc_pad,
-        attr_t=attr,
+        attr_t=None if attr is None else jnp.asarray(attr),
     )
 
 

@@ -143,11 +143,10 @@ def _make_scene_parallel_fns(
         pid_out = jnp.where(pid_w == big, 0, pid_w)
         return t_g, pid_out, pid_g
 
+    from rt_rs_tpu.ops.pallas.packet_trace import tag_refine
+
     def _tag(fn):
-        if refine_mode == "all":
-            fn = partial(fn, refine=True)
-        fn.supports_refine = refine_mode != "off"
-        return fn
+        return tag_refine(fn, refine_mode)
 
     def closest(payload, valid, t_cap=None, refine=False):
         t, pid = base(shift_payload(payload), valid, t_cap, refine=refine)
@@ -242,7 +241,7 @@ def make_sharded_render(
     if scene_parallel:
         from rt_rs_tpu.ops.pallas.packet_trace import (
             flatten_segments,
-            pad_chunk_count,
+            resident_fits,
         )
 
         if not use_tiled:
@@ -255,9 +254,7 @@ def make_sharded_render(
         # multiple — the kernel's only chunk-count divisibility
         # requirement).
         cb = getattr(handler, "cull_block", None) or 1
-        flat_tbl = pad_chunk_count(
-            flatten_segments(accel), n_shards * cb
-        )
+        flat_tbl = flatten_segments(accel, pad_multiple=n_shards * cb)
         nc_local = flat_tbl.num_chunks // n_shards
         tc = int(flat_tbl.comp.shape[1])
         tris_per_shard = nc_local * tc
@@ -265,8 +262,17 @@ def make_sharded_render(
             raise ValueError(
                 "prim ids exceed f32 exact-integer range (2^24)"
             )
+        # Same default policy as the single-chip Renderer, applied to
+        # the PER-SHARD table: kernel-emitted rows when the shard is
+        # VMEM-resident with attrs, gather when the shard itself must
+        # run segmented (the measured segmented-rows rejection,
+        # PERF.md round 3).  force_rows overrides either way.
+        local_view = dataclasses.replace(flat_tbl, num_chunks=nc_local)
         use_rows = (
-            (flat_tbl.attr_t is not None)
+            (
+                flat_tbl.attr_t is not None
+                and resident_fits(local_view, with_attrs=True)
+            )
             if force_rows is None
             else force_rows
         )

@@ -348,6 +348,34 @@ class DynamicRenderer:
         cfg = self.config.compute
         width, height = self.width, self.height
 
+        # Static resident tables now take rows at every size (round-3
+        # re-sweep), but the dynamic path pays a PER-FRAME attr-table
+        # build for rows — keep the 400K threshold here until that
+        # cost is measured at small sizes.  Same VMEM cap as the
+        # static handlers.  Rest-pose finiteness gate: non-finite
+        # shade rows poison whole tiles through the rows matmul (see
+        # build_tri_chunks); render_frame additionally validates the
+        # caller's per-frame vertex data once when rows are on.
+        from rt_rs_tpu.ops.pallas.packet_trace import (
+            MAX_VMEM_CHUNKS,
+            TRI_CHUNK,
+        )
+
+        n_tris = base.pa.shape[0] - 1
+        finite_rest = bool(np.isfinite(base.shade_table).all())
+        self._use_rows = (
+            (
+                width * height >= 400_000
+                if force_rows is None
+                else force_rows
+            )
+            and base.no_negative_materials
+            and finite_rest
+            and n_tris <= (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
+        )
+        self._inputs_checked = False
+        use_rows = self._use_rows
+
         def step(vert_pos, vert_norm, camera_pos, camera_at):
             def corner(arr, c):
                 rows = arr[prim_idx[:, c]]
@@ -364,33 +392,6 @@ class DynamicRenderer:
                 nb=corner(vert_norm, 1),
                 nc=corner(vert_norm, 2),
             ).rebuild_shade_table()
-            # Static resident tables now take rows at every size
-            # (round-3 re-sweep), but the dynamic path pays a
-            # PER-FRAME attr-table build for rows — keep the 400K
-            # threshold here until that cost is measured at small
-            # sizes.  Same VMEM cap as the static handlers.
-            from rt_rs_tpu.ops.pallas.packet_trace import (
-                MAX_VMEM_CHUNKS,
-                TRI_CHUNK,
-            )
-
-            n_tris = base.pa.shape[0] - 1
-            # Rest-pose finiteness gate: non-finite shade rows poison
-            # whole tiles through the rows matmul (see build_tri_chunks).
-            # The per-frame table is rebuilt from caller-supplied
-            # normals — callers animating degenerate geometry should
-            # pass force_rows=False.
-            finite_rest = bool(np.isfinite(base.shade_table).all())
-            use_rows = (
-                (
-                    width * height >= 400_000
-                    if force_rows is None
-                    else force_rows
-                )
-                and base.no_negative_materials
-                and finite_rest
-                and n_tris <= (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
-            )
             # Dynamic frames prefer SMALLER chunks than static scenes:
             # the round-3 on-TPU sweep measured tc=32 at 11.0/10.4 ms
             # (rebuild/refit, teatime 384x288 wobble orbit) vs 18.7/
@@ -459,6 +460,23 @@ class DynamicRenderer:
     ) -> jax.Array:
         if vert_norm is None:
             vert_norm = jnp.asarray(self.scene.vert_norm)
+        if self._use_rows and not self._inputs_checked:
+            # One-time guard (first frame only — a per-frame host check
+            # would cost a tunnel round trip): non-finite vertex data
+            # feeds NaN into the per-frame attr table, which the rows
+            # matmul spreads tile-wide (see build_tri_chunks).  Fail
+            # loud instead of rendering NaN frames; degenerate-geometry
+            # animations should pass force_rows=False.
+            self._inputs_checked = True
+            if not (
+                np.isfinite(np.asarray(vert_pos)).all()
+                and np.isfinite(np.asarray(vert_norm)).all()
+            ):
+                raise ValueError(
+                    "non-finite vertex positions/normals with "
+                    "kernel-emitted rows enabled; pass force_rows=False "
+                    "to render degenerate geometry on the gather path"
+                )
         out = self._step(
             jnp.asarray(vert_pos, jnp.float32),
             jnp.asarray(vert_norm, jnp.float32),

@@ -323,3 +323,25 @@ def test_dynamic_rows_path_matches(default_scene):
             np.asarray(dyn.render_frame(default_scene.vert_pos)), base,
             atol=2e-6,
         )
+
+
+def test_dynamic_rows_rejects_nonfinite_inputs(default_scene):
+    """Rows enabled + non-finite per-frame vertex data must fail loud
+    (the per-frame attr build would otherwise NaN-poison whole tiles
+    through the rows matmul — see build_tri_chunks); the gather path
+    (force_rows=False) renders such geometry fine."""
+    cfg = Config(resolution=Resolution.sized(32, 24))
+    dyn = DynamicRenderer(
+        default_scene, config=cfg, interpret=True, force_rows=True
+    )
+    bad = np.asarray(default_scene.vert_pos, np.float32).copy()
+    bad[0] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        dyn.render_frame(bad)
+    # The gather path accepts the same input (NaN confined to pixels
+    # hitting the degenerate prim).
+    dyn_g = DynamicRenderer(
+        default_scene, config=cfg, interpret=True, force_rows=False
+    )
+    frame = np.asarray(dyn_g.render_frame(bad))
+    assert np.nan_to_num(frame).sum() >= 0.0  # renders without raising
