@@ -211,3 +211,22 @@ def test_scene_parallel_requires_packet_table(default_scene):
         make_sharded_render(
             handler, accel, arrays, cfg, 16, 8, hybrid_mesh(2, 4)
         )
+
+
+def test_scene_parallel_nondividing_shards(default_scene):
+    """3 shards over a 32-chunk table forces tail padding (pad to 33,
+    11 chunks/shard) — pad chunks must never hit or shift ids."""
+    w, h = 32, 16
+    cfg = ComputeConfig(bounces=2)
+    handler = get_handler("pbvh", tri_chunk=8)
+    arrays = default_scene.pack()
+    accel, arrays = handler.build(default_scene, arrays)
+
+    mesh = hybrid_mesh(1, 3)
+    fn = make_sharded_render(handler, accel, arrays, cfg, w, h, mesh)
+    frame, _ = fn(
+        jnp.asarray(default_scene.camera.pos, jnp.float32),
+        jnp.asarray(default_scene.camera.at, jnp.float32),
+    )
+    single = _single_frame(default_scene, cfg, w, h, tri_chunk=8)
+    np.testing.assert_allclose(np.asarray(frame), single, atol=1e-5)
