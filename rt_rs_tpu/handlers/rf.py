@@ -100,10 +100,9 @@ class RfBvhIntrs(IntrsHandler):
         self.refine = refine
 
     def _tag_refine(self, fn):
-        if self.refine == "all":
-            fn = partial(fn, refine=True)
-        fn.supports_refine = self.refine != "off"
-        return fn
+        from rt_rs_tpu.ops.pallas.packet_trace import tag_refine
+
+        return tag_refine(fn, self.refine)
 
     @property
     def block_lanes(self) -> int:

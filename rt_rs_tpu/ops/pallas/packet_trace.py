@@ -1200,6 +1200,8 @@ def flatten_segments(accel, pad_multiple: int = 1) -> TriChunks:
         raise TypeError(
             f"no flat chunk table behind {type(accel).__name__}"
         )
+    if len(parts) == 1 and parts[0].num_chunks % pad_multiple == 0:
+        return parts[0]  # already flat + aligned: no host round trip
     comp = np.concatenate([np.asarray(s.comp) for s in parts])
     bmin = np.concatenate([np.asarray(s.bmin) for s in parts])
     bmax = np.concatenate([np.asarray(s.bmax) for s in parts])

@@ -102,6 +102,7 @@ def _make_scene_parallel_fns(
         packet_closest_hit_tiled,
         resident_fits,
         split_chunks_traced,
+        tag_refine,
     )
 
     kwargs: dict[str, Any] = dict(
@@ -142,8 +143,6 @@ def _make_scene_parallel_fns(
         pid_w = jax.lax.pmin(cand, SCENE_AXIS)
         pid_out = jnp.where(pid_w == big, 0, pid_w)
         return t_g, pid_out, pid_g
-
-    from rt_rs_tpu.ops.pallas.packet_trace import tag_refine
 
     def _tag(fn):
         return tag_refine(fn, refine_mode)
@@ -325,7 +324,10 @@ def make_sharded_render(
                 )
                 i_fn, r_fn, a_fn = _make_scene_parallel_fns(
                     local, cfg, sp_cfg["tris_per_shard"],
-                    interpret=interp,
+                    # Same execution-mode knob the handler-built fns of
+                    # the 1-D path honor (interpret=True on a real TPU
+                    # is a supported debugging mode).
+                    interpret=getattr(handler, "interpret", interp),
                     refine_mode=sp_cfg["refine_mode"],
                     chain=sp_cfg["chain"],
                     cull_block=sp_cfg["cull_block"],

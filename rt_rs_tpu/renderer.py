@@ -351,16 +351,24 @@ class DynamicRenderer:
         # Static resident tables now take rows at every size (round-3
         # re-sweep), but the dynamic path pays a PER-FRAME attr-table
         # build for rows — keep the 400K threshold here until that
-        # cost is measured at small sizes.  Same VMEM cap as the
-        # static handlers.  Rest-pose finiteness gate: non-finite
-        # shade rows poison whole tiles through the rows matmul (see
+        # cost is measured at small sizes.  The VMEM cap uses the
+        # resident_fits byte formula at the ACTUAL chunk height: attr_t
+        # is a fixed 16 KB/chunk, so at the dynamic tc=32 default it
+        # costs 2x the tc=64 rate per triangle (512 B vs 256 B) and the
+        # with-attrs ceiling is 6,144 tris, not the static handlers'
+        # 8,192.  Rest-pose finiteness gate: non-finite shade rows
+        # poison whole tiles through the rows matmul (see
         # build_tri_chunks); render_frame additionally validates the
-        # caller's per-frame vertex data once when rows are on.
+        # caller's per-frame vertex data when rows are on.
         from rt_rs_tpu.ops.pallas.packet_trace import (
+            LANES,
             MAX_VMEM_CHUNKS,
             TRI_CHUNK,
         )
 
+        tc_rows = DYNAMIC_TRI_CHUNK if tri_chunk is None else tri_chunk
+        per_tri = 512 + (32 * LANES * 4) // tc_rows
+        cap_tris = (MAX_VMEM_CHUNKS * TRI_CHUNK * 512) // per_tri
         n_tris = base.pa.shape[0] - 1
         finite_rest = bool(np.isfinite(base.shade_table).all())
         self._use_rows = (
@@ -371,7 +379,7 @@ class DynamicRenderer:
             )
             and base.no_negative_materials
             and finite_rest
-            and n_tris <= (MAX_VMEM_CHUNKS * TRI_CHUNK * 2) // 3
+            and n_tris <= cap_tris
         )
         self._inputs_checked = False
         use_rows = self._use_rows
@@ -460,23 +468,30 @@ class DynamicRenderer:
     ) -> jax.Array:
         if vert_norm is None:
             vert_norm = jnp.asarray(self.scene.vert_norm)
-        if self._use_rows and not self._inputs_checked:
-            # One-time guard (first frame only — a per-frame host check
-            # would cost a tunnel round trip): non-finite vertex data
-            # feeds NaN into the per-frame attr table, which the rows
-            # matmul spreads tile-wide (see build_tri_chunks).  Fail
-            # loud instead of rendering NaN frames; degenerate-geometry
-            # animations should pass force_rows=False.
-            self._inputs_checked = True
-            if not (
-                np.isfinite(np.asarray(vert_pos)).all()
-                and np.isfinite(np.asarray(vert_norm)).all()
-            ):
-                raise ValueError(
-                    "non-finite vertex positions/normals with "
-                    "kernel-emitted rows enabled; pass force_rows=False "
-                    "to render degenerate geometry on the gather path"
-                )
+        if self._use_rows:
+            # Non-finite vertex data feeds NaN into the per-frame attr
+            # table, which the rows matmul spreads tile-wide (see
+            # build_tri_chunks) — fail loud instead of rendering NaN
+            # frames.  Host (numpy) inputs are checked EVERY frame (the
+            # check is free); device arrays only on the first frame (a
+            # per-frame pull would cost a tunnel round trip), so
+            # on-device animations that can go degenerate should pass
+            # force_rows=False.
+            host_input = isinstance(vert_pos, np.ndarray) and isinstance(
+                vert_norm, np.ndarray
+            )
+            if host_input or not self._inputs_checked:
+                self._inputs_checked = True
+                if not (
+                    np.isfinite(np.asarray(vert_pos)).all()
+                    and np.isfinite(np.asarray(vert_norm)).all()
+                ):
+                    raise ValueError(
+                        "non-finite vertex positions/normals with "
+                        "kernel-emitted rows enabled; pass "
+                        "force_rows=False to render degenerate geometry "
+                        "on the gather path"
+                    )
         out = self._step(
             jnp.asarray(vert_pos, jnp.float32),
             jnp.asarray(vert_norm, jnp.float32),

@@ -344,4 +344,6 @@ def test_dynamic_rows_rejects_nonfinite_inputs(default_scene):
         default_scene, config=cfg, interpret=True, force_rows=False
     )
     frame = np.asarray(dyn_g.render_frame(bad))
-    assert np.nan_to_num(frame).sum() >= 0.0  # renders without raising
+    # NaN is confined to pixels hitting the degenerate prim; the rest
+    # of the frame still renders lit geometry.
+    assert np.nan_to_num(frame).sum() > 0
