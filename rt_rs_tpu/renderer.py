@@ -33,10 +33,13 @@ from rt_rs_tpu.scene import Scene
 from rt_rs_tpu.scene.arrays import SceneArrays
 from rt_rs_tpu.utils.sync import device_sync
 
-# Chunk height for per-frame (dynamic) accel builds — measured optimum
-# differs from the static scenes' TUNED_TRI_CHUNK=64 (see
-# DynamicRenderer.step and PERF.md round 3).
-DYNAMIC_TRI_CHUNK = 32
+# Chunk height for per-frame (dynamic) accel builds.  The round-3
+# tc=32 optimum predates per-ray refine; the late-round-3 re-sweep
+# measured tc a WASH at every size with refine on, while the rows path
+# cut dynamic 1080p 67 -> 53 ms — and teatime (6,320 tris) only fits
+# the with-attrs VMEM cap at tc=64 (8,192 vs 6,144 at tc=32), so 64
+# keeps the flagship dynamic scene rows-eligible (PERF.md).
+DYNAMIC_TRI_CHUNK = 64
 
 
 # Packet rays are generated in pixel-block order (shade.camera_rays
@@ -292,12 +295,12 @@ class DynamicRenderer:
         tri_chunk: int | None = None,
         refine: bool = True,
     ):
-        """``force_rows`` overrides the >= 400K-pixel heuristic for the
-        kernel-emitted-rows branch (tests force it at tiny sizes).
-        Unlike the static Renderer (rows at every size, round-3
-        re-sweep), the dynamic path keeps the size threshold: rows add
-        a PER-FRAME attr-table build here, whose small-frame cost is
-        not covered by the static measurement.
+        """``force_rows`` overrides the kernel-emitted-rows default
+        (on at every size, like the static Renderer: the late-round-3
+        dynamic re-sweep measured the per-frame attr-table build a
+        wash at 384x288 and rows 67 -> 53 ms at 1080p; PERF.md).  Rows
+        still require the scene to fit the with-attrs VMEM cap and a
+        finite shade table.
         ``tri_chunk`` overrides the kernel chunk height (default: the
         tuned constant; refit mode may prefer smaller chunks when the
         geometry drifts far from the rest pose, since stale Morton
@@ -348,18 +351,16 @@ class DynamicRenderer:
         cfg = self.config.compute
         width, height = self.width, self.height
 
-        # Static resident tables now take rows at every size (round-3
-        # re-sweep), but the dynamic path pays a PER-FRAME attr-table
-        # build for rows — keep the 400K threshold here until that
-        # cost is measured at small sizes.  The VMEM cap uses the
-        # resident_fits byte formula at the ACTUAL chunk height: attr_t
-        # is a fixed 16 KB/chunk, so at the dynamic tc=32 default it
-        # costs 2x the tc=64 rate per triangle (512 B vs 256 B) and the
-        # with-attrs ceiling is 6,144 tris, not the static handlers'
-        # 8,192.  Rest-pose finiteness gate: non-finite shade rows
-        # poison whole tiles through the rows matmul (see
-        # build_tri_chunks); render_frame additionally validates the
-        # caller's per-frame vertex data when rows are on.
+        # Rows at every size, like the static path (late-round-3
+        # dynamic re-sweep: the per-frame attr-table build is a wash at
+        # 384x288 and rows cut 1080p 67 -> 53 ms; PERF.md).  The VMEM
+        # cap uses the resident_fits byte formula at the ACTUAL chunk
+        # height: attr_t is a fixed 16 KB/chunk (the with-attrs ceiling
+        # is 8,192 tris at tc=64 but 6,144 at tc=32).  Rest-pose
+        # finiteness gate: non-finite shade rows poison whole tiles
+        # through the rows matmul (see build_tri_chunks); render_frame
+        # additionally validates the caller's per-frame vertex data
+        # when rows are on.
         from rt_rs_tpu.ops.pallas.packet_trace import (
             LANES,
             MAX_VMEM_CHUNKS,
@@ -372,11 +373,7 @@ class DynamicRenderer:
         n_tris = base.pa.shape[0] - 1
         finite_rest = bool(np.isfinite(base.shade_table).all())
         self._use_rows = (
-            (
-                width * height >= 400_000
-                if force_rows is None
-                else force_rows
-            )
+            (True if force_rows is None else force_rows)
             and base.no_negative_materials
             and finite_rest
             and n_tris <= cap_tris
@@ -400,12 +397,11 @@ class DynamicRenderer:
                 nb=corner(vert_norm, 1),
                 nc=corner(vert_norm, 2),
             ).rebuild_shade_table()
-            # Dynamic frames prefer SMALLER chunks than static scenes:
-            # the round-3 on-TPU sweep measured tc=32 at 11.0/10.4 ms
-            # (rebuild/refit, teatime 384x288 wobble orbit) vs 18.7/
-            # 19.5 at the static-tuned tc=64 and 12.5/12.6 at tc=16 —
-            # the per-frame chunk build shifts the optimum (PERF.md
-            # round 3).
+            # tc history: the round-3 tc=32 optimum (11.0 vs 18.7 ms)
+            # was measured BEFORE per-ray refine; with refine on the
+            # late-round-3 re-sweep measured tc=32/64 a wash at every
+            # size, and tc=64 keeps teatime under the with-attrs VMEM
+            # cap for the rows path (PERF.md).
             tc = DYNAMIC_TRI_CHUNK if tri_chunk is None else tri_chunk
             if refit:
                 accel = device_chunks(

@@ -166,9 +166,21 @@ def main() -> int:
 
     static = Renderer(scene, config=cfg_small, handler="lbvh").render_frame()
     for refit in (False, True):
-        dyn = DynamicRenderer(scene, config=cfg_small, refit=refit)
+        # force_rows=False pins the gather branch (rows is the dynamic
+        # default at every size since the late-round-3 re-sweep).
+        dyn = DynamicRenderer(
+            scene, config=cfg_small, refit=refit, force_rows=False
+        )
         frame = dyn.render_frame(scene.vert_pos)
         check(f"dynamic refit={refit} vs static lbvh @160x120", frame, static)
+    # The dynamic rows default (per-frame attr build + emit-rows kernel
+    # on a device-built table).
+    dyn_rows = DynamicRenderer(scene, config=cfg_small, refit=True)
+    check(
+        "dynamic rows vs static lbvh @160x120",
+        dyn_rows.render_frame(scene.vert_pos),
+        static,
+    )
 
     print("ALL PASS" if ok else "FAILURES", flush=True)
     return 0 if ok else 1

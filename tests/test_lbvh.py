@@ -334,16 +334,18 @@ def test_dynamic_rows_rejects_nonfinite_inputs(default_scene):
     dyn = DynamicRenderer(
         default_scene, config=cfg, interpret=True, force_rows=True
     )
-    bad = np.asarray(default_scene.vert_pos, np.float32).copy()
-    bad[0] = np.nan
+    vp = np.asarray(default_scene.vert_pos, np.float32)
+    bad_norm = np.asarray(default_scene.vert_norm, np.float32).copy()
+    bad_norm[0] = np.nan  # the degenerate-face import outcome
     with pytest.raises(ValueError, match="non-finite"):
-        dyn.render_frame(bad)
+        dyn.render_frame(vp, bad_norm)
     # The gather path accepts the same input (NaN confined to pixels
-    # hitting the degenerate prim).
+    # hitting the degenerate prim; positions stay finite so the
+    # on-device Morton build is unaffected).
     dyn_g = DynamicRenderer(
         default_scene, config=cfg, interpret=True, force_rows=False
     )
-    frame = np.asarray(dyn_g.render_frame(bad))
+    frame = np.asarray(dyn_g.render_frame(vp, bad_norm))
     # NaN is confined to pixels hitting the degenerate prim; the rest
     # of the frame still renders lit geometry.
     assert np.nan_to_num(frame).sum() > 0

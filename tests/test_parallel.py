@@ -230,3 +230,30 @@ def test_scene_parallel_nondividing_shards(default_scene):
     )
     single = _single_frame(default_scene, cfg, w, h, tri_chunk=8)
     np.testing.assert_allclose(np.asarray(frame), single, atol=1e-5)
+
+
+def test_scene_parallel_local_segmented(scenes_dir, monkeypatch):
+    """A shard whose slice exceeds the VMEM cap runs the segmented
+    kernel via split_chunks_traced inside shard_map (static local
+    segment bases composing with the traced shard base).  Forced by
+    shrinking the VMEM budget: teatime at tri_chunk=8 -> 800 chunks ->
+    400/shard -> 13 local segments under MAX_VMEM_CHUNKS=16."""
+    from rt_rs_tpu.ops.pallas import packet_trace as pt
+
+    scene = Scene.load(str(scenes_dir / "teatime.json"))
+    w, h = 32, 16
+    cfg = ComputeConfig(bounces=2)
+    handler = get_handler("pbvh", tri_chunk=8)
+    arrays = scene.pack()
+    accel, arrays = handler.build(scene, arrays)
+
+    single = _single_frame(scene, cfg, w, h, tri_chunk=8)
+
+    monkeypatch.setattr(pt, "MAX_VMEM_CHUNKS", 16)
+    mesh = hybrid_mesh(1, 2)
+    fn = make_sharded_render(handler, accel, arrays, cfg, w, h, mesh)
+    frame, _ = fn(
+        jnp.asarray(scene.camera.pos, jnp.float32),
+        jnp.asarray(scene.camera.at, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(frame), single, atol=1e-5)
