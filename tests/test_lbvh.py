@@ -304,14 +304,14 @@ def test_lbvh_renderer_matches_naive(default_scene):
 
 
 def test_dynamic_rows_path_matches(default_scene):
-    """DynamicRenderer's rows/any-hit branch (>= 400K pixels) must
-    equal the gather branch; exercised at a tiny size by forcing the
-    threshold via the module constant."""
+    """DynamicRenderer's rows/any-hit branch (the default at every
+    size since the late-round-3 re-sweep) must equal the gather branch
+    (force_rows=False)."""
     w, h = 32, 24
     cfg = Config(resolution=Resolution.sized(w, h))
     base = np.asarray(
         DynamicRenderer(
-            default_scene, config=cfg, interpret=True
+            default_scene, config=cfg, interpret=True, force_rows=False
         ).render_frame(default_scene.vert_pos)
     )
     for refit in (False, True):
