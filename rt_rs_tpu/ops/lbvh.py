@@ -143,7 +143,11 @@ def karras_hierarchy(codes_sorted: jax.Array):
         t = (l + div - 1) // div
         probe = delta(i, i + (s + t) * d) > delta_node
         s = jnp.where(probe & (t >= 1), s + t, s)
-        return s, div * 2
+        # Clamp the doubling: 32 unguarded doublings overflow int32
+        # (div -> INT_MIN -> 0, making t an s32 division by zero whose
+        # result is backend-defined).  Once div > l the probe term is
+        # t=1 forever, so the clamp changes no iteration's outcome.
+        return s, jnp.minimum(div * 2, jnp.int32(1 << 30))
 
     s, _ = jax.lax.fori_loop(0, 32, split_body, (s, div))
 

@@ -48,6 +48,7 @@ from rt_rs_tpu.ops.pallas.packet_trace import (
     TILE_GROUP,
     TriChunks,
     chunk_overlap_mask,
+    mt_chunk_test,
 )
 
 BLOCK_SUBLANES = 512  # triangles per streamed DMA block (256 KB)
@@ -127,54 +128,20 @@ def _mt_stream_kernel(
                     bt, bid = carry
                     bit = (word >> cj) & 1
                     chunk = buf[slot, pl.ds(cj * tc, tc), :]
-                    ax = chunk[:, 0:1]
-                    ay = chunk[:, 1:2]
-                    az = chunk[:, 2:3]
-                    e1x = chunk[:, 3:4]
-                    e1y = chunk[:, 4:5]
-                    e1z = chunk[:, 5:6]
-                    e2x = chunk[:, 6:7]
-                    e2y = chunk[:, 7:8]
-                    e2z = chunk[:, 8:9]
-
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    tx = ox - ax
-                    ty = oy - ay
-                    tz = oz - az
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-
-                    det = e1x * px + e1y * py + e1z * pz
-                    u = tx * px + ty * py + tz * pz
-                    v = dx * qx + dy * qy + dz * qz
-
-                    sgn = jnp.sign(det)
-                    adet = jnp.abs(det)
-                    su = u * sgn
-                    sv = v * sgn
-                    ok = (
-                        (adet > eps)
-                        & (su >= 0.0)
-                        & (su <= adet)
-                        & (sv >= 0.0)
-                        & (su + sv <= adet)
-                        & (bit == 1)
-                    )
-                    w = (e2x * qx + e2y * qy + e2z * qz) / jnp.where(
-                        ok, det, 1.0
-                    )
-                    ok = ok & (w > t_min) & (w < t_max)
-
                     c_global = blk * cpb + cj
                     pid = (
                         sub
                         + jnp.float32(1.0)
                         + c_global.astype(jnp.float32) * tc
                     )
-                    ok = ok & (pid != excl)
+                    # The shared resident-kernel test (op-for-op
+                    # exactness by construction); the block-list bit
+                    # gates this chunk via extra_ok.
+                    ok, w = mt_chunk_test(
+                        chunk, ox, oy, oz, dx, dy, dz, pid, excl,
+                        t_min=t_min, t_max=t_max, eps=eps,
+                        extra_ok=(bit == 1),
+                    )
 
                     w = jnp.where(ok, w, miss)
                     better = w < bt

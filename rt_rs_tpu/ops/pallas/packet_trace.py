@@ -648,6 +648,74 @@ def chunk_overlap_mask_subgroup_cm(
 # The kernel
 
 
+def mt_chunk_test(
+    chunk,  # (tc, LANES) f32: 9 components in lanes 0..8
+    ox, oy, oz, dx, dy, dz,  # (1, r) f32 ray components
+    pid,  # (tc, r) f32: the chunk's prim ids (global, exact < 2^24)
+    excl,  # (1, r) f32: exclusion id
+    *,
+    t_min: float,
+    t_max: float,
+    eps: float,
+    extra_ok=None,
+):
+    """The Möller–Trumbore (tri_chunk, rays) lattice — THE shared
+    per-(chunk, tile) test of the resident (:func:`_mt_kernel`) and
+    DMA-streaming (``packet_stream._mt_stream_kernel``) kernels, kept
+    in one body so their documented op-for-op exactness cannot drift.
+    ``extra_ok`` ANDs an additional validity term (the streaming
+    kernel's block-list bit) into the pre-division mask.  Returns
+    ``(ok, w)``: hit mask and distances (garbage where ``~ok``)."""
+    ax = chunk[:, 0:1]  # (tc, 1) -> lane-broadcasts against rays
+    ay = chunk[:, 1:2]
+    az = chunk[:, 2:3]
+    e1x = chunk[:, 3:4]
+    e1y = chunk[:, 4:5]
+    e1z = chunk[:, 5:6]
+    e2x = chunk[:, 6:7]
+    e2y = chunk[:, 7:8]
+    e2z = chunk[:, 8:9]
+
+    # p = cross(d, e2)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    # tvec = o - a
+    tx = ox - ax
+    ty = oy - ay
+    tz = oz - az
+    # q = cross(tvec, e1)
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+
+    det = e1x * px + e1y * py + e1z * pz
+    u = tx * px + ty * py + tz * pz
+    v = dx * qx + dy * qy + dz * qz
+
+    # Two-sided branch folded by sign flip: multiplying u/v by
+    # sign(det) is exact (x * +-1) and maps both determinant branches
+    # of basic.rs:56-70 onto one comparison set.
+    sgn = jnp.sign(det)
+    adet = jnp.abs(det)
+    su = u * sgn
+    sv = v * sgn
+    ok = (
+        (adet > eps)
+        & (su >= 0.0)
+        & (su <= adet)
+        & (sv >= 0.0)
+        & (su + sv <= adet)
+    )
+    if extra_ok is not None:
+        ok = ok & extra_ok
+    w = (e2x * qx + e2y * qy + e2z * qz) / jnp.where(ok, det, 1.0)
+    # Strict window (the naive replace semantics, basic.rs:95-101).
+    ok = ok & (w > t_min) & (w < t_max)
+    ok = ok & (pid != excl)
+    return ok, w
+
+
 def _mt_kernel(
     group_live_ref,  # SMEM [T // TILE_GROUP] int32: any VALID ray in group
     counts_ref,  # SMEM [T] int32 (scalar prefetch): chunks per tile
@@ -708,51 +776,6 @@ def _mt_kernel(
             c = ids_ref[g, 0, k]
 
             chunk = tri_ref[c]  # (8, 128); components in lanes 0..8
-            ax = chunk[:, 0:1]  # (8, 1) -> lane-broadcasts against rays
-            ay = chunk[:, 1:2]
-            az = chunk[:, 2:3]
-            e1x = chunk[:, 3:4]
-            e1y = chunk[:, 4:5]
-            e1z = chunk[:, 5:6]
-            e2x = chunk[:, 6:7]
-            e2y = chunk[:, 7:8]
-            e2z = chunk[:, 8:9]
-
-            # p = cross(d, e2): (8, 128)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            # tvec = o - a
-            tx = ox - ax
-            ty = oy - ay
-            tz = oz - az
-            # q = cross(tvec, e1)
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-
-            det = e1x * px + e1y * py + e1z * pz
-            u = tx * px + ty * py + tz * pz
-            v = dx * qx + dy * qy + dz * qz
-
-            # Two-sided branch folded by sign flip: multiplying u/v by
-            # sign(det) is exact (x * +-1) and maps both determinant
-            # branches of basic.rs:56-70 onto one comparison set.
-            sgn = jnp.sign(det)
-            adet = jnp.abs(det)
-            su = u * sgn
-            sv = v * sgn
-            ok = (
-                (adet > eps)
-                & (su >= 0.0)
-                & (su <= adet)
-                & (sv >= 0.0)
-                & (su + sv <= adet)
-            )
-            w = (e2x * qx + e2y * qy + e2z * qz) / jnp.where(ok, det, 1.0)
-            # Strict window (the naive replace semantics, basic.rs:95-101).
-            ok = ok & (w > t_min) & (w < t_max)
-
             # prim ids: reordered space, +1 for the null sentinel;
             # pid_base shifts segment-local chunk ids into the global id
             # space (segmented tables) so exclusion and outputs are
@@ -762,7 +785,10 @@ def _mt_kernel(
                 + jnp.float32(1.0 + pid_base)
                 + (c.astype(jnp.float32) * tc)
             )
-            ok = ok & (pid != excl)
+            ok, w = mt_chunk_test(
+                chunk, ox, oy, oz, dx, dy, dz, pid, excl,
+                t_min=t_min, t_max=t_max, eps=eps,
+            )
 
             if any_hit:
                 # blocked iff ANY hit lies inside (t_min, cap): exactly
@@ -1249,9 +1275,17 @@ def split_chunks_traced(
     nc = chunks.num_chunks
     tc = int(chunks.comp.shape[1])
     if max_seg_tris is None:
-        max_seg_tris = MAX_VMEM_CHUNKS * TRI_CHUNK
-        if chunks.attr_t is not None:
-            max_seg_tris = (max_seg_tris * 2) // 3
+        # Size segments in BYTES like resident_fits: comp costs
+        # 512 B/tri at any tc, attr_t a fixed 16 KB/chunk (16384/tc
+        # B/tri — 4x the tc=64 rate at tc=16, so a tri-count cap
+        # calibrated for tc=64 would overshoot VMEM at smaller tc).
+        # At tc=64 this reproduces the historical caps exactly
+        # (12,288 plain / 8,192 with attrs).
+        budget = MAX_VMEM_CHUNKS * TRI_CHUNK * 512
+        per_tri = 512 + (
+            (32 * LANES * 4) // tc if chunks.attr_t is not None else 0
+        )
+        max_seg_tris = budget // per_tri
     seg_chunks = max(
         CHUNK_ALIGN, (max_seg_tris // tc) // CHUNK_ALIGN * CHUNK_ALIGN
     )

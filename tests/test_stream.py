@@ -123,3 +123,30 @@ def test_stream_small_chunks_shrink_blocks():
         t_min=0.01, t_max=1000.0, eps=1e-7, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5)
+
+
+def test_split_chunks_attr_segments_fit_budget(scenes_dir):
+    """Segment sizing is byte-accurate at any chunk height: attr_t is
+    a fixed 16 KB/chunk, so tc=16 tables cost 1536 B/tri and a
+    tri-count cap calibrated for tc=64 would cut segments ~2x too big
+    for the emit-rows VMEM budget (round-3 package review finding)."""
+    import numpy as np
+
+    from rt_rs_tpu.ops.pallas.packet_trace import (
+        build_tri_chunks,
+        resident_fits,
+        split_chunks,
+    )
+    from rt_rs_tpu.scene import Scene
+
+    scene = Scene.load(str(scenes_dir / "teatime.json"))
+    arrays = scene.pack()
+    chunks = build_tri_chunks(
+        arrays.pa, arrays.pb, arrays.pc, max_chunks=None, tri_chunk=16,
+        shade_rows=np.asarray(arrays.shade_table),
+    )
+    seg = split_chunks(chunks)
+    assert len(seg.segments) >= 2  # 9.7 MB of table split the budget
+    for s in seg.segments:
+        assert s.attr_t is not None
+        assert resident_fits(s, with_attrs=True)
