@@ -33,39 +33,23 @@ def available() -> list[str]:
 
 
 def _register_builtin() -> None:
+    # Unconditional imports: every backend depends only on jax/numpy.
+    # (Bring-up-era try/except here masked real import breakage as
+    # "unknown handler" — a refactor typo in packet_trace.py would
+    # silently drop pbvh from the registry.)
     from rt_rs_tpu.handlers.blank import BlankIntrs
+    from rt_rs_tpu.handlers.bvh import BvhIntrs
+    from rt_rs_tpu.handlers.lbvh import LbvhIntrs
     from rt_rs_tpu.handlers.naive import BasicIntrs
+    from rt_rs_tpu.handlers.pbvh import PacketBvhIntrs
+    from rt_rs_tpu.handlers.rf import RfBvhIntrs
 
     register("blank", BlankIntrs)
     register("naive", BasicIntrs)
-
-    try:
-        from rt_rs_tpu.handlers.bvh import BvhIntrs
-
-        register("bvh", BvhIntrs)
-    except ImportError:  # pragma: no cover - during bring-up
-        pass
-
-    try:
-        from rt_rs_tpu.handlers.rf import RfBvhIntrs
-
-        register("rf_bvh", RfBvhIntrs)
-    except ImportError:  # pragma: no cover
-        pass
-
-    try:
-        from rt_rs_tpu.handlers.pbvh import PacketBvhIntrs
-
-        register("pbvh", PacketBvhIntrs)
-    except ImportError:  # pragma: no cover
-        pass
-
-    try:
-        from rt_rs_tpu.handlers.lbvh import LbvhIntrs
-
-        register("lbvh", LbvhIntrs)
-    except ImportError:  # pragma: no cover
-        pass
+    register("bvh", BvhIntrs)
+    register("rf_bvh", RfBvhIntrs)
+    register("pbvh", PacketBvhIntrs)
+    register("lbvh", LbvhIntrs)
 
 
 _register_builtin()

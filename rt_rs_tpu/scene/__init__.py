@@ -162,10 +162,7 @@ class Scene:
             # (scene/mod.rs:88).
             raise SceneFormatError("cannot serialize an unloaded scene")
         return {
-            "camera": {
-                "pos": [f32_json(x) for x in self.camera.pos],
-                "at": [f32_json(x) for x in self.camera.at],
-            },
+            "camera": self.camera.to_json(),
             "camera_controller": self.camera_controller.to_json(),
             "prims": [
                 {

@@ -20,7 +20,7 @@ import dataclasses
 import math
 from typing import Any, Mapping
 
-from rt_rs_tpu.geom import SceneFormatError, _vec3
+from rt_rs_tpu.geom import SceneFormatError, _vec3, f32_json
 
 ORBIT_SPEED = 0.1  # camera.rs:171
 ORBIT_RATE = 0.0314  # camera.rs:181
@@ -36,7 +36,12 @@ class CameraUniform:
         return cls(pos=_vec3(data["pos"], "camera pos"), at=_vec3(data["at"], "camera at"))
 
     def to_json(self) -> dict[str, Any]:
-        return {"pos": list(self.pos), "at": list(self.at)}
+        # f32-exact floats — the ONE serialization form (Scene.to_json
+        # delegates here; the round-trip invariants require f32_json).
+        return {
+            "pos": [f32_json(x) for x in self.pos],
+            "at": [f32_json(x) for x in self.at],
+        }
 
     def orbited(self, mult: float) -> "CameraUniform":
         """One orbit step (reference ``orbit``, camera.rs:177-189).

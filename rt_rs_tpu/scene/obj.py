@@ -84,6 +84,13 @@ def _load_obj_py(path: str) -> ObjMesh:
                 continue
             parts = line.split()
             tag = parts[0]
+            # Values parse text->f64 here, then add_mesh rounds f64->f32
+            # (the reference parses text->f32 directly).  Double
+            # rounding can only diverge when the f64 conversion rounds
+            # AND lands exactly on an f32 tie point, which requires a
+            # decimal of ~16+ significant digits — no real OBJ carries
+            # that precision, and the bundled meshes are pinned
+            # value-exact by tests (test_scene.py, test_native.py).
             if tag == "v":
                 positions.append([float(x) for x in parts[1:4]])
             elif tag == "vn":

@@ -102,9 +102,13 @@ class BenchScheduler:
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(8, 4.5))
-        xs = [(i + 1) * self.interval for i in range(len(self.averages))]
+        # Snapshot: record() appends from the measuring thread while
+        # this daemon runs; computing xs and plotting from one list
+        # copy keeps the lengths consistent.
+        avgs = list(self.averages)
+        xs = [(i + 1) * self.interval for i in range(len(avgs))]
         label = f"{self.stats.name} ({self.stats.size} B)"
-        ax.plot(xs, self.averages, marker="o", markersize=3, label=label)
+        ax.plot(xs, avgs, marker="o", markersize=3, label=label)
         ax.set_xlabel("frame")
         ax.set_ylabel("avg frame time (ms)")
         ax.set_title("rt_rs_tpu benchmark")

@@ -27,10 +27,25 @@ def _fmt(vals) -> str:
     return "[{:.3f}, {:.3f}, {:.3f}]".format(*(float(v) for v in vals))
 
 
+def _walk_preorder(emit, fst, snd, out: TextIO) -> None:
+    """Explicit-stack preorder walk (same visit order as the
+    reference's recursion, rf.rs:247-290) — path-shaped device-built
+    trees can run hundreds of thousands of frames deep, past what
+    CPython's C stack survives even with a raised recursion limit."""
+    stack = [(0, 0)]
+    while stack:
+        curr, indent = stack.pop()
+        children = emit(curr, indent)
+        if children is not None:
+            # Push snd first so fst prints first (preorder).
+            stack.append((int(snd[curr]), indent + 1))
+            stack.append((int(fst[curr]), indent + 1))
+
+
 def debug_aabb(data, out: TextIO = sys.stdout) -> None:
     """Print a flattened plain BVH (``debug_aabb``, rf.rs:247-290)."""
 
-    def inner(curr: int, indent: int) -> None:
+    def emit(curr: int, indent: int):
         lo = _fmt(data.bounds_min[curr])
         hi = _fmt(data.bounds_max[curr])
         count = int(data.item_count[curr])
@@ -38,15 +53,11 @@ def debug_aabb(data, out: TextIO = sys.stdout) -> None:
             i0 = int(data.item_idx[curr])
             items = [int(x) for x in data.indices[i0 : i0 + count]]
             out.write(f"{' ' * indent} Leaf {lo} {hi}: {items}\n")
-        else:
-            out.write(f"{' ' * indent} Node {lo} {hi}\n")
-            inner(int(data.fst[curr]), indent + 1)
-            inner(int(data.snd[curr]), indent + 1)
+            return None
+        out.write(f"{' ' * indent} Node {lo} {hi}\n")
+        return True
 
-    # Iterative depth guard: bundled scenes are < 10K nodes but Python's
-    # recursion limit could bite on degenerate trees.
-    sys.setrecursionlimit(max(sys.getrecursionlimit(), data.num_nodes + 64))
-    inner(0, 0)
+    _walk_preorder(emit, data.fst, data.snd, out)
 
 
 def debug_rf_aabb(rf, out: TextIO = sys.stdout) -> None:
@@ -55,19 +66,17 @@ def debug_rf_aabb(rf, out: TextIO = sys.stdout) -> None:
 
     d = unpack_rf(rf)
 
-    def inner(curr: int, indent: int) -> None:
+    def emit(curr: int, indent: int):
         lo = _fmt(d["bmin"][curr])
         hi = _fmt(d["bmax"][curr])
         if d["is_leaf"][curr]:
             items = [int(x) for x in d["leaf_prims"][curr] if x != 0]
             out.write(f"{' ' * indent} Leaf {lo} {hi}: {items}\n")
-        else:
-            out.write(f"{' ' * indent} Node {lo} {hi}\n")
-            inner(int(d["fst"][curr]), indent + 1)
-            inner(int(d["snd"][curr]), indent + 1)
+            return None
+        out.write(f"{' ' * indent} Node {lo} {hi}\n")
+        return True
 
-    sys.setrecursionlimit(max(sys.getrecursionlimit(), rf.num_records + 64))
-    inner(0, 0)
+    _walk_preorder(emit, d["fst"], d["snd"], out)
 
 
 def main(argv: list[str] | None = None) -> int:

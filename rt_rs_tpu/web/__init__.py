@@ -53,15 +53,25 @@ const note = document.getElementById('note');
 // negative time" since we only ever render one frame per iteration).
 async function loop() {
   let fps = 60;
+  let url = null;
   for (;;) {
     const t0 = performance.now();
-    const r = await fetch('/frame.png?t=' + Date.now());
-    frame.src = URL.createObjectURL(await r.blob());
-    const s = await (await fetch('/status')).json();
-    fps = s.fps || fps;
-    document.getElementById('status').textContent =
-      `${s.handler} (${s.size} B) ${s.frame_ms.toFixed(1)} ms`;
-    note.textContent = s.note || '';
+    // One transient failure (server busy in a recompile after a
+    // scene/viewport POST) must not kill the polling loop.
+    try {
+      const r = await fetch('/frame.png?t=' + Date.now());
+      const next = URL.createObjectURL(await r.blob());
+      frame.src = next;
+      if (url) URL.revokeObjectURL(url);  // one live blob, not one/frame
+      url = next;
+      const s = await (await fetch('/status')).json();
+      fps = s.fps || fps;
+      document.getElementById('status').textContent =
+        `${s.handler} (${s.size} B) ${s.frame_ms.toFixed(1)} ms`;
+      note.textContent = s.note || '';
+    } catch (e) {
+      note.textContent = 'fetch failed: ' + e;
+    }
     const wait = 1000 / fps - (performance.now() - t0);
     if (wait > 0) await new Promise(res => setTimeout(res, wait));
   }
@@ -84,12 +94,14 @@ function keyev(e, pressed) {
   if (k) fetch('/key', {method:'POST',
     body: JSON.stringify({key:k, pressed})});
 }
-// resize debounce 300ms (js/index.js:16-30 parity)
+// resize debounce 300ms (js/index.js:16-30 parity: the reference
+// posts window.innerWidth/innerHeight)
 let t = null;
 addEventListener('resize', () => {
   clearTimeout(t);
   t = setTimeout(() => fetch('/viewport', {method:'POST',
-    body: JSON.stringify({width: 320, height: 240})}), 300);
+    body: JSON.stringify({width: window.innerWidth,
+                          height: window.innerHeight})}), 300);
 });
 loop();
 </script></body></html>
@@ -284,6 +296,10 @@ def make_server(state: WebState, host: str = "127.0.0.1", port: int = 0):
             body = self.rfile.read(length) if length else b"{}"
             path, _, query = self.path.partition("?")
             try:
+                # Mailbox writes hold the render lock: ThreadingHTTPServer
+                # runs POSTs concurrently with render_frame_png, whose
+                # read-then-clear of _pending_* would otherwise erase an
+                # update landing between the two statements.
                 if path == "/scene":
                     from urllib.parse import parse_qs
 
@@ -293,9 +309,12 @@ def make_server(state: WebState, host: str = "127.0.0.1", port: int = 0):
                     if not name.replace("-", "").replace("_", "").isalnum():
                         self._send(400, b"invalid scene name", "text/plain")
                         return
-                    state._pending_scene = name
+                    with state.lock:
+                        state._pending_scene = name
                 elif path == "/config":
-                    state._pending_config = json.loads(body)
+                    data = json.loads(body)
+                    with state.lock:
+                        state._pending_config = data
                 elif path == "/viewport":
                     data = json.loads(body)
                     w, h = int(data["width"]), int(data["height"])
@@ -307,12 +326,14 @@ def make_server(state: WebState, host: str = "127.0.0.1", port: int = 0):
                             "text/plain",
                         )
                         return
-                    state._pending_viewport = (w, h)
+                    with state.lock:
+                        state._pending_viewport = (w, h)
                 elif path == "/key":
                     data = json.loads(body)
                     key = data.get("key")
                     if key in ("left", "right"):
-                        state._keys[key] = bool(data.get("pressed"))
+                        with state.lock:
+                            state._keys[key] = bool(data.get("pressed"))
                 else:
                     self._send(404, b"not found", "text/plain")
                     return
