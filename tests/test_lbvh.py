@@ -349,3 +349,21 @@ def test_dynamic_rows_rejects_nonfinite_inputs(default_scene):
     # NaN is confined to pixels hitting the degenerate prim; the rest
     # of the frame still renders lit geometry.
     assert np.nan_to_num(frame).sum() > 0
+
+
+def test_lbvh_attr_cap_scales_with_tri_chunk(teatime_scene):
+    """The with-attrs cap is byte-true at the actual chunk height:
+    teatime (6,320 tris) fits attrs at tc=64 (cap 8,192) but NOT at
+    tc=16 (attr_t is 16 KB/chunk -> cap 4,096) — building an attr
+    table the rows path then rejects would waste device memory."""
+    from rt_rs_tpu.handlers.lbvh import LbvhIntrs
+
+    arrays = teatime_scene.pack()
+    acc64, _ = LbvhIntrs(interpret=True, tri_chunk=64).build(
+        teatime_scene, arrays
+    )
+    assert acc64.attr_t is not None
+    acc16, _ = LbvhIntrs(interpret=True, tri_chunk=16).build(
+        teatime_scene, arrays
+    )
+    assert acc16.attr_t is None
