@@ -1,9 +1,15 @@
-"""Small vec3 helpers used by host-side (NumPy) code.
+"""Small vec3 helpers — the ``V3Ops`` trait surface
+(``src/lib/geom/v3.rs:7-18``) for ad-hoc host-side use.
 
-Counterpart of the reference's ``V3Ops`` trait
-(``src/lib/geom/v3.rs:7-18``).  Device-side math uses ``jnp`` directly;
-these helpers exist for the CPU paths (OBJ import, BVH build) where the
-reference also stays on the CPU.
+CAUTION: these are convenience f64 forms and must NOT replace the
+parity-critical math in the production CPU paths.  The OBJ import and
+BVH build deliberately reimplement cross/normalize/angle inline in
+**f32 with the reference's exact operation order and no clamping**
+(``rt_rs_tpu/scene/__init__.py:240-261``, ``bvh/builder.py``) — the
+bit-for-bit ``teatime.bvh.json`` / OBJ-import invariants depend on
+that.  ``angle`` here clamps to [-1, 1] and guards a zero denominator,
+which the reference does not; "deduplicating" the f32 copies through
+this module would silently break the pinned invariants.
 """
 
 from __future__ import annotations

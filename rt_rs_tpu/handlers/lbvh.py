@@ -195,16 +195,15 @@ class LbvhIntrs(IntrsHandler):
         # check happens here, on the concrete packed arrays).
         import numpy as _np
 
-        from rt_rs_tpu.ops.pallas.packet_trace import LANES
+        from rt_rs_tpu.ops.pallas.packet_trace import rows_budget_ok
 
-        # Byte-true with-attrs cap at the ACTUAL chunk height (attr_t
-        # is a fixed 16 KB/chunk — at tc=16 a tris<=8192 gate would
-        # build an attr table resident_fits then rejects, wasting the
-        # device memory with the rows path silently unavailable).
+        # Byte-true with-attrs cap at the ACTUAL chunk height incl.
+        # CHUNK_ALIGN padding (attr_t is a fixed 16 KB/chunk — at
+        # tc=16 a tris<=8192 gate would build an attr table
+        # resident_fits then rejects, wasting the device memory with
+        # the rows path silently unavailable).
         tris = arrays.pa.shape[0] - 1
-        per_tri = 512 + (32 * LANES * 4) // self.tri_chunk
-        cap = (MAX_VMEM_CHUNKS * TRI_CHUNK * 512) // per_tri
-        with_attrs = tris <= cap and bool(
+        with_attrs = rows_budget_ok(tris, self.tri_chunk) and bool(
             _np.isfinite(_np.asarray(arrays.shade_table)).all()
         )
         chunks, arrays = jax.jit(

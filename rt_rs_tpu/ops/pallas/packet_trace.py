@@ -147,6 +147,20 @@ def resident_fits(chunks: "TriChunks", with_attrs: bool = False) -> bool:
     return tris * per_tri <= budget
 
 
+def rows_budget_ok(n_tris: int, tri_chunk: int) -> bool:
+    """Whether an ``n_tris``-triangle table AT THIS CHUNK HEIGHT fits
+    the emit-rows VMEM budget, accounting for the CHUNK_ALIGN padding
+    the builders apply (a raw-triangle cap admits over-budget tables
+    near the boundary: 2,457 tris at tc=8 pad to 2,560).  Exactly
+    :func:`resident_fits` applied to the table the builder would
+    produce — use this BEFORE building to decide whether to carry the
+    attr table at all."""
+    nc = -(-max(1, n_tris) // tri_chunk)
+    nc = -(-nc // CHUNK_ALIGN) * CHUNK_ALIGN
+    per_chunk = tri_chunk * 512 + 32 * LANES * 4
+    return nc * per_chunk <= MAX_VMEM_CHUNKS * TRI_CHUNK * 512
+
+
 def build_tri_chunks(
     pa: np.ndarray,
     pb: np.ndarray,

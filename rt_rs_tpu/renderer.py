@@ -215,7 +215,10 @@ class Renderer:
     def render_image(self) -> np.ndarray:
         """One frame as uint8 RGB (the rgba8unorm store,
         compute.wgsl:291: clamp to [0,1], round to 8 bits)."""
-        frame = np.asarray(self.render_frame())
+        # block=False: np.asarray is itself the fence (it blocks while
+        # transferring) — an extra device_sync would add a wasted
+        # ~25 ms tunnel round trip per frame.
+        frame = np.asarray(self.render_frame(block=False))
         return np.round(np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8)
 
     def orbit(self, mult: float) -> None:
@@ -361,22 +364,18 @@ class DynamicRenderer:
         # through the rows matmul (see build_tri_chunks); render_frame
         # additionally validates the caller's per-frame vertex data
         # when rows are on.
-        from rt_rs_tpu.ops.pallas.packet_trace import (
-            LANES,
-            MAX_VMEM_CHUNKS,
-            TRI_CHUNK,
-        )
+        from rt_rs_tpu.ops.pallas.packet_trace import rows_budget_ok
 
-        tc_rows = DYNAMIC_TRI_CHUNK if tri_chunk is None else tri_chunk
-        per_tri = 512 + (32 * LANES * 4) // tc_rows
-        cap_tris = (MAX_VMEM_CHUNKS * TRI_CHUNK * 512) // per_tri
+        # ONE effective chunk height for cap and build (they must not
+        # drift; the step body closes over this value).
+        tc = DYNAMIC_TRI_CHUNK if tri_chunk is None else tri_chunk
         n_tris = base.pa.shape[0] - 1
         finite_rest = bool(np.isfinite(base.shade_table).all())
         self._use_rows = (
             (True if force_rows is None else force_rows)
             and base.no_negative_materials
             and finite_rest
-            and n_tris <= cap_tris
+            and rows_budget_ok(n_tris, tc)
         )
         self._inputs_checked = False
         use_rows = self._use_rows
@@ -401,8 +400,8 @@ class DynamicRenderer:
             # was measured BEFORE per-ray refine; with refine on the
             # late-round-3 re-sweep measured tc=32/64 a wash at every
             # size, and tc=64 keeps teatime under the with-attrs VMEM
-            # cap for the rows path (PERF.md).
-            tc = DYNAMIC_TRI_CHUNK if tri_chunk is None else tri_chunk
+            # cap for the rows path (PERF.md).  ``tc`` is the single
+            # effective height computed above (shared with the cap).
             if refit:
                 accel = device_chunks(
                     arrays.pa, arrays.pb, arrays.pc, tri_chunk=tc,
@@ -462,26 +461,40 @@ class DynamicRenderer:
     def render_frame(
         self, vert_pos, vert_norm=None, block: bool = True
     ) -> jax.Array:
-        if vert_norm is None:
+        # Host-ness is judged on the CALLER's arguments, before the
+        # norm default is substituted (the default is a device array,
+        # which must not disable the per-frame vert_pos check).
+        norm_defaulted = vert_norm is None
+        if norm_defaulted:
             vert_norm = jnp.asarray(self.scene.vert_norm)
         if self._use_rows:
             # Non-finite vertex data feeds NaN into the per-frame attr
             # table, which the rows matmul spreads tile-wide (see
             # build_tri_chunks) — fail loud instead of rendering NaN
-            # frames.  Host (numpy) inputs are checked EVERY frame (the
-            # check is free); device arrays only on the first frame (a
-            # per-frame pull would cost a tunnel round trip), so
-            # on-device animations that can go degenerate should pass
-            # force_rows=False.
-            host_input = isinstance(vert_pos, np.ndarray) and isinstance(
+            # frames.  Host (numpy) arguments are checked EVERY frame
+            # (the check is free; the defaulted norm is the rest pose,
+            # already covered by the finite_rest gate); device arrays
+            # only on the first frame (a per-frame pull would cost a
+            # tunnel round trip), so on-device animations that can go
+            # degenerate should pass force_rows=False.
+            check_pos = isinstance(vert_pos, np.ndarray)
+            check_norm = not norm_defaulted and isinstance(
                 vert_norm, np.ndarray
             )
-            if host_input or not self._inputs_checked:
+            if check_pos or check_norm or not self._inputs_checked:
+                first = not self._inputs_checked
                 self._inputs_checked = True
-                if not (
+                pos_ok = (
                     np.isfinite(np.asarray(vert_pos)).all()
-                    and np.isfinite(np.asarray(vert_norm)).all()
-                ):
+                    if (check_pos or first)
+                    else True
+                )
+                norm_ok = (
+                    np.isfinite(np.asarray(vert_norm)).all()
+                    if (check_norm or (first and not norm_defaulted))
+                    else True
+                )
+                if not (pos_ok and norm_ok):
                     raise ValueError(
                         "non-finite vertex positions/normals with "
                         "kernel-emitted rows enabled; pass "

@@ -22,6 +22,8 @@ def write_gif(
     """Write uint8 RGB frames as an animated GIF."""
     from PIL import Image
 
+    if not frames:
+        raise ValueError("no frames to write")
     images = [Image.fromarray(f, mode="RGB") for f in frames]
     images[0].save(
         path,
@@ -40,7 +42,9 @@ def render_orbit_gif(
     fps: int = 20,
 ) -> list[float]:
     """Render a full camera orbit to a GIF; returns per-frame seconds."""
-    mult = (rotations * 2.0 * math.pi) / frames / 0.0314
+    from rt_rs_tpu.scene.camera import ORBIT_RATE
+
+    mult = (rotations * 2.0 * math.pi) / frames / ORBIT_RATE
     collected: list[np.ndarray] = []
     times: list[float] = []
 
