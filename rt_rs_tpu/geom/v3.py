@@ -1,5 +1,7 @@
 """Small vec3 helpers — the ``V3Ops`` trait surface
-(``src/lib/geom/v3.rs:7-18``) for ad-hoc host-side use.
+(``src/lib/geom/v3.rs:7-18``) for ad-hoc host-side use.  Production
+consumer: the ``debug_tree --check`` invariant validator's geometry
+stats (``rt_rs_tpu/tools/debug_tree.py check_tree``).
 
 CAUTION: these are convenience f64 forms and must NOT replace the
 parity-critical math in the production CPU paths.  The OBJ import and

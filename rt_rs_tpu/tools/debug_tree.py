@@ -79,6 +79,90 @@ def debug_rf_aabb(rf, out: TextIO = sys.stdout) -> None:
     _walk_preorder(emit, d["fst"], d["snd"], out)
 
 
+def check_tree(data, scene=None, out: TextIO = sys.stdout) -> int:
+    """Structural invariant checks over a flattened BVH -> violation
+    count (0 = healthy).  The machine-checkable form of the manual
+    eyeballing the reference's debug printers support:
+
+    * every primitive appears in exactly one leaf;
+    * (with ``scene``) every child's COVERING bounds lie inside its
+      parent's — the stored bounds deliberately don't satisfy this
+      (the reference's in-place shrink never refits after shrinking;
+      PARITY.md / :meth:`BvhData.cover_bounds`) — plus geometry
+      quality stats via the ``V3Ops`` helpers
+      (:mod:`rt_rs_tpu.geom.v3`): zero-area (degenerate) faces — the
+      ones whose NaN smooth normals force the rows-fallback path —
+      and sliver triangles (min interior ``v3.angle``).
+    """
+    import numpy as np
+
+    from rt_rs_tpu.geom import v3
+
+    bad = 0
+    n = data.bounds_min.shape[0]
+    if scene is not None:
+        cover_min, cover_max = data.cover_bounds(scene)
+        for curr in range(n):
+            if int(data.item_count[curr]) > 0:
+                continue
+            for child in (int(data.fst[curr]), int(data.snd[curr])):
+                if not (
+                    (cover_min[curr] <= cover_min[child]).all()
+                    and (cover_max[child] <= cover_max[curr]).all()
+                ):
+                    out.write(
+                        f"VIOLATION: child {child} cover bounds exceed "
+                        f"parent {curr}\n"
+                    )
+                    bad += 1
+    # Leaf coverage: the indices array is one permutation of the prim
+    # ids, and the leaves' [item_idx, item_idx+count) ranges tile it.
+    spans = []
+    for curr in range(n):
+        count = int(data.item_count[curr])
+        if count > 0:
+            spans.append((int(data.item_idx[curr]), count))
+    spans.sort()
+    pos = 0
+    for i0, count in spans:
+        if i0 != pos:
+            out.write(f"VIOLATION: leaf range gap/overlap at {i0}\n")
+            bad += 1
+        pos = i0 + count
+    total = len(data.indices)
+    if pos != total:
+        out.write(f"VIOLATION: leaves cover {pos} of {total} slots\n")
+        bad += 1
+    ids = np.sort(np.asarray(data.indices))
+    if not np.array_equal(ids, np.arange(total, dtype=ids.dtype)):
+        out.write("VIOLATION: indices are not a permutation of prims\n")
+        bad += 1
+
+    if scene is not None:
+        degenerate = 0
+        min_angle = float("inf")
+        for a, b, c in scene.prim_indices:
+            pa = scene.vert_pos[int(a)].astype(float)
+            pb = scene.vert_pos[int(b)].astype(float)
+            pc = scene.vert_pos[int(c)].astype(float)
+            if v3.mag(v3.cross(pb - pa, pc - pa)) == 0.0:
+                degenerate += 1
+                continue
+            min_angle = min(
+                min_angle,
+                v3.angle(pa, pb, pc),
+                v3.angle(pb, pc, pa),
+                v3.angle(pc, pa, pb),
+            )
+        out.write(
+            f"geometry: {degenerate} degenerate (zero-area) faces; "
+            f"min interior angle "
+            f"{min_angle if min_angle != float('inf') else 0.0:.4f} rad\n"
+        )
+    out.write(f"check: {bad} violations\n")
+    return bad
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rt_rs_tpu.tools.debug_tree")
     src = p.add_mutually_exclusive_group(required=True)
@@ -87,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--rf", action="store_true",
         help="dump the packed RF record tree instead of the plain one",
+    )
+    p.add_argument(
+        "--check", action="store_true",
+        help="validate tree invariants instead of dumping; exit code = "
+        "number of violations",
     )
     p.add_argument("--eps", type=float, default=0.02)
     p.add_argument(
@@ -108,6 +197,9 @@ def main(argv: list[str] | None = None) -> int:
         scene = Scene.load(args.scene)
         target = args.item_count or (4 if args.rf else 2)
         data = build_bvh(scene, eps=args.eps, target_item_count=target)
+
+    if args.check:
+        return check_tree(data, scene)
 
     if args.rf:
         from rt_rs_tpu.bvh.rf import pack_rf
