@@ -9,42 +9,56 @@ Baseline: the reference's best handler (RfBvhIntrs) at 214.569 ms per
 compute pass on the same protocol (RX 580; BASELINE.md), i.e.
 0.515 Mrays/s of primary-equivalent throughput.
 
+Protocol (round 4): the axon tunnel's session variance can swing
+single-shot numbers tens of percent (PERF.md: blank 6.4 vs 3.5 ms
+across sessions), so each size is measured as REPEATS interleaved
+repeats alternating between sizes within one session; the headline is
+the per-size MEDIAN and the JSON carries the spread (min-max across
+repeats).  Two throughput framings are printed: primary-equivalent
+(pixels / frame time — the BASELINE.json north-star framing) and
+total-dispatched rays (pixels x bounces x (1 closest-hit + n_lights
+shadow) — the work the kernels are actually issued, before liveness
+gating; the reference's per-thread loop issues the same set).
+
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
 
 import json
+import math
 import time
 
-import jax.numpy as jnp
 import numpy as np
 
 from rt_rs_tpu.config import Config, Resolution
 from rt_rs_tpu.renderer import Renderer
 from rt_rs_tpu.scene import Scene
+from rt_rs_tpu.utils.sync import device_sync as _sync
 
 SCENE = "/root/reference/scenes/teatime.json"
 REF_FRAME_MS = 214.569  # RF-BVH, 384x288, 4 bounces (pdf p.19 §4.2.2)
+REPEATS = 3
+BOUNCES = 4
+N_LIGHTS = 2  # teatime.json
 
 
-from rt_rs_tpu.utils.sync import device_sync as _sync  # noqa: E402
-
-
-def bench_frames(width: int, height: int, frames: int, rotations=1.0):
-    """Mean seconds/frame over `frames` spread across `rotations` full
-    camera orbits (the study averages over whole rotations, pdf §4.2).
-    Single sync at the end — per-frame host syncs would measure the
-    tunnel RTT, not compute."""
-    import math
-
+def make_renderer(width: int, height: int) -> Renderer:
     r = Renderer(
         Scene.load(SCENE),
         config=Config(resolution=Resolution.sized(width, height)),
         handler="pbvh",
     )
     _sync(r.render_frame(block=False))  # compile + warm
+    return r
+
+
+def orbit_ms(r: Renderer, frames: int, rotations: float = 1.0) -> float:
+    """Mean ms/frame over `frames` spread across `rotations` full camera
+    orbits (the study averages over whole rotations, pdf §4.2).  Single
+    sync at the end — per-frame host syncs would measure the tunnel
+    RTT, not compute."""
     mult = rotations * 2.0 * math.pi / frames / 0.0314
     t0 = time.perf_counter()
     out = None
@@ -52,7 +66,7 @@ def bench_frames(width: int, height: int, frames: int, rotations=1.0):
         out = r.render_frame(block=False)
         r.orbit(mult)
     _sync(out)
-    return (time.perf_counter() - t0) / frames
+    return (time.perf_counter() - t0) / frames * 1e3
 
 
 def bench_lbvh_build() -> float:
@@ -80,22 +94,38 @@ def bench_lbvh_build() -> float:
 
 
 def main() -> None:
-    ms_384 = bench_frames(384, 288, frames=60) * 1e3
-    ms_1080 = bench_frames(1920, 1080, frames=12) * 1e3
+    sizes = {"384": (384, 288, 60), "1080": (1920, 1080, 12)}
+    rs = {k: make_renderer(w, h) for k, (w, h, _) in sizes.items()}
+    samples: dict[str, list[float]] = {k: [] for k in sizes}
+    for _ in range(REPEATS):
+        for k, (_, _, frames) in sizes.items():
+            samples[k].append(orbit_ms(rs[k], frames))
+    med = {k: float(np.median(v)) for k, v in samples.items()}
+    spread = {
+        k: [round(min(v), 3), round(max(v), 3)] for k, v in samples.items()
+    }
     lbvh_ms = bench_lbvh_build()
 
+    ms_384, ms_1080 = med["384"], med["1080"]
+    px_1080 = 1920 * 1080
+    primary_mrays = px_1080 / (ms_1080 * 1e-3) / 1e6
+    dispatched_mrays = (
+        px_1080 * BOUNCES * (1 + N_LIGHTS) / (ms_1080 * 1e-3) / 1e6
+    )
     result = {
         "metric": (
-            "teatime 384x288 4-bounce frame time "
-            f"(1080p: {ms_1080:.1f} ms, {1920*1080/(ms_1080*1e-3)/1e6:.1f} "
-            f"Mrays/s primary-equiv; cessna on-device LBVH build "
-            f"{lbvh_ms:.2f} ms)"
+            f"teatime 384x288 4-bounce frame time, median of {REPEATS} "
+            f"interleaved orbit repeats "
+            f"(1080p: {ms_1080:.1f} ms = {primary_mrays:.1f} Mrays/s "
+            f"primary-equiv, {dispatched_mrays:.0f} Mrays/s dispatched; "
+            f"cessna on-device LBVH build {lbvh_ms:.2f} ms)"
         ),
         "value": round(ms_384, 3),
         "unit": "ms/frame",
         # >1 means faster than the reference's best handler on the same
         # protocol (RF-BVH, 214.569 ms on RX 580).
         "vs_baseline": round(REF_FRAME_MS / ms_384, 2),
+        "spread_ms": spread,
     }
     print(json.dumps(result))
 

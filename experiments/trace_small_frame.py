@@ -28,9 +28,13 @@ TRACE_DIR = "/tmp/jax_trace_small"
 def main():
     scene = Scene.load("/root/reference/scenes/teatime.json")
     scene.camera = scene.camera.orbited(25.0)  # side-on view
+    kw = {}
+    if os.environ.get("TRACE_RETILE"):
+        kw["retile"] = os.environ["TRACE_RETILE"] == "1"
     r = Renderer(
         scene, config=Config(resolution=Resolution.sized(W, H)),
         handler=sys.argv[1] if len(sys.argv) > 1 else "pbvh",
+        **kw,
     )
     r.camera = scene.camera
     # Warm (compile) first.

@@ -104,6 +104,21 @@ def device_chunks(
     )
 
 
+def chunk_footprint(accel: TriChunks) -> int:
+    """Honest device byte footprint of a chunk table (lane-padded
+    component table + bounds + the optional emit-rows attr table) —
+    the ``IntrsStats`` size shared by the LBVH handler and
+    :class:`rt_rs_tpu.renderer.DynamicRenderer`."""
+    import numpy as _np
+
+    size = int(
+        _np.prod(accel.comp.shape) * 4 + _np.prod(accel.bmin.shape) * 4 * 2
+    )
+    if accel.attr_t is not None:
+        size += int(_np.prod(accel.attr_t.shape) * 4)
+    return size
+
+
 def build_accel_device(
     arrays: SceneArrays,
     tri_chunk: int = TUNED_TRI_CHUNK,
@@ -216,17 +231,7 @@ class LbvhIntrs(IntrsHandler):
         return chunks, arrays
 
     def stats(self, accel: TriChunks) -> IntrsStats:
-        import numpy as _np
-
-        # Honest device footprint (lane-padded chunk table + bounds
-        # + the optional emit-rows attr table).
-        size = int(
-            _np.prod(accel.comp.shape) * 4
-            + _np.prod(accel.bmin.shape) * 4 * 2
-        )
-        if accel.attr_t is not None:
-            size += int(_np.prod(accel.attr_t.shape) * 4)
-        return IntrsStats(name="LBVH", size=size)
+        return IntrsStats(name="LBVH", size=chunk_footprint(accel))
 
     def intersect_fn(self, accel: TriChunks, arrays: SceneArrays, cfg: ComputeConfig):
         return partial(

@@ -733,6 +733,9 @@ def mt_chunk_test(
 def _mt_kernel(
     group_live_ref,  # SMEM [T // TILE_GROUP] int32: any VALID ray in group
     counts_ref,  # SMEM [T] int32 (scalar prefetch): chunks per tile
+    cidx_ref,  # SMEM [T // TILE_GROUP] int32: collapsed block index per
+    # grid step (see packet_closest_hit_tiled's ``collapse``) — consumed
+    # only by the index maps; the body keys everything off program_id
     ids_ref,  # SMEM (G, 1, Nc) int32: compacted chunk ids
     rays_ref,  # VMEM (8, G, R) f32 component-major: ox,oy,oz,dx,dy,dz,excl,pad
     tri_ref,  # VMEM (Nc, 8, LANES) f32: full chunk table
@@ -744,6 +747,7 @@ def _mt_kernel(
     emit_attrs: bool = False,
     any_hit: bool = False,
 ):
+    del cidx_ref
     if emit_attrs:
         attr_ref, out_t_ref, out_id_ref, rows_ref = refs
     elif any_hit:
@@ -971,10 +975,27 @@ def packet_closest_hit_tiled(
     emit_rows: bool = False,
     any_hit: bool = False,
     refine: bool = False,
+    collapse: bool = True,
 ):
     """Closest hit over pre-tiled component-major rays -> (t [T, r],
     pid [T, r]) — plus the winning prims' shade-table rows
     ([32, T, r]) when ``emit_rows`` is set.
+
+    ``collapse`` (default on) removes the Pallas pipeline's block
+    traffic for DEAD 32-tile groups: round-4 profiling showed each
+    secondary call carries a ~0.5 us/tile floor that neither the
+    whole-group body skip nor live-tile compaction touches, because
+    the pipeline still streams every grid step's payload/output blocks
+    through VMEM (e.g. the rows output alone is 32 x T x r f32 =
+    264 MB/call at 1080p) regardless of gating.  The fix: grid step
+    ``g``'s block index comes from a prefetched ``cidx[g]`` = index of
+    the last live group <= g, so a run of dead steps repeats the
+    previous live index — Mosaic's revisiting optimization then skips
+    the input copies and defers the (unchanged) output write for the
+    whole run.  Exact by the existing contract: a dead group's outputs
+    are unspecified either way (without collapse they were the stale
+    previous block's values; with it, whatever the output buffer
+    held), and live groups keep ``cidx[g] == g``.
 
     ``any_hit`` returns a single blocked mask [T, r] bool instead: True
     iff some primitive lies within (t_min, cap_ray), where cap_ray is
@@ -1078,6 +1099,27 @@ def packet_closest_hit_tiled(
         .any(axis=1)
         .astype(jnp.int32)
     )
+    # Interpret-mode Pallas degrades pathologically on data-dependent
+    # index maps (minutes for a 1-group call); the collapse is a pure
+    # Mosaic-pipeline optimization with unchanged visible semantics, so
+    # interpret runs (the CPU suite) keep static indexing.
+    collapse = collapse and not interpret
+    if collapse:
+        # Collapsed block index per grid step: the last live group's
+        # index (clamped to 0 before any live group) — dead runs repeat
+        # an index so the pipeline skips their block copies.
+        cidx = jnp.maximum(
+            jax.lax.cummax(
+                jnp.where(
+                    group_live > 0,
+                    jnp.arange(t_groups, dtype=jnp.int32),
+                    jnp.int32(-1),
+                )
+            ),
+            0,
+        )
+    else:
+        cidx = jnp.arange(t_groups, dtype=jnp.int32)
     if emit_rows and chunks.attr_t is None:
         raise ValueError(
             "emit_rows requires a chunk table built with shade_rows"
@@ -1088,47 +1130,55 @@ def packet_closest_hit_tiled(
         _mt_kernel, t_min=t_min, t_max=t_max, eps=eps,
         pid_base=float(pid_base), emit_attrs=emit_rows, any_hit=any_hit,
     )
+
+    # Index maps receive the prefetched scalars (group_live, counts,
+    # cidx) after the grid index; blocks follow the collapsed index.
+    def _lead(t, gl, cn, cx):
+        return (cx[t], 0, 0)
+
+    def _mid(t, gl, cn, cx):
+        return (0, cx[t], 0)
+
+    def _const(t, gl, cn, cx):
+        return (0, 0, 0)
+
     in_specs = [
         pl.BlockSpec(
             (TILE_GROUP, 1, nc_pad),
-            lambda t, *_: (t, 0, 0),
+            _lead,
             memory_space=pltpu.SMEM,
         ),
-        pl.BlockSpec((8, TILE_GROUP, ray_tile), lambda t, *_: (0, t, 0)),
-        pl.BlockSpec(
-            (nc, chunks.comp.shape[1], LANES), lambda t, *_: (0, 0, 0)
-        ),
+        pl.BlockSpec((8, TILE_GROUP, ray_tile), _mid),
+        pl.BlockSpec((nc, chunks.comp.shape[1], LANES), _const),
     ]
     if any_hit:
         out_specs = [
-            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), _lead),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
         ]
     else:
         out_specs = [
-            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((TILE_GROUP, 1, ray_tile), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), _lead),
+            pl.BlockSpec((TILE_GROUP, 1, ray_tile), _lead),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.float32),
             jax.ShapeDtypeStruct((t_tiles, 1, ray_tile), jnp.int32),
         ]
-    operands = [group_live, counts, ids[:, None, :], payload, tri]
+    operands = [group_live, counts, cidx, ids[:, None, :], payload, tri]
     if emit_rows:
-        in_specs.append(
-            pl.BlockSpec((nc, 32, LANES), lambda t, *_: (0, 0, 0))
-        )
+        in_specs.append(pl.BlockSpec((nc, 32, LANES), _const))
         operands.append(chunks.attr_t)
         out_specs.append(
-            pl.BlockSpec((32, TILE_GROUP, ray_tile), lambda t, *_: (0, t, 0))
+            pl.BlockSpec((32, TILE_GROUP, ray_tile), _mid)
         )
         out_shape.append(
             jax.ShapeDtypeStruct((32, t_tiles, ray_tile), jnp.float32)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_groups,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -539,6 +539,16 @@ def camera_ray_tiles(
     return payload, valid, n_pixels
 
 
+def _invert_perm(perm: jax.Array) -> jax.Array:
+    """Inverse of a permutation [T] int32 via one scatter."""
+    n = perm.shape[0]
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+
+
 def trace_tiled(
     scene: SceneArrays,
     intersect_fn: TiledIntersectFn,
@@ -551,6 +561,7 @@ def trace_tiled(
     intersect_anyhit_fn: TiledIntersectFn | None = None,
     fuse_bounce: bool = False,
     shadow_cull: bool = True,
+    retile: bool = False,
 ) -> jax.Array:
     """The bounce loop over component-major ray tiles -> color [3, T, r].
 
@@ -578,7 +589,25 @@ def trace_tiled(
     verdict of such a ray is multiplied by exactly-zero terms in
     shade_post, so removing it from the intersect batch is
     output-exact while the packet kernel's interval/per-ray culls
-    prune the dropped rays' chunk work."""
+    prune the dropped rays' chunk work.
+
+    ``retile`` (live-tile compaction between bounces): after each
+    bounce's liveness update, whole ray tiles are permuted so tiles
+    with a live ray pack to the FRONT (a stable [T]-element argsort —
+    spatial order among live tiles is preserved).  Secondary bounces
+    leave live rays scattered thinly across the grid (1080p live
+    counts 2.07M / 663K / 18K / 2.4K; live tiles ~15% while live
+    32-tile GROUPS are ~50% — PERF.md round 3), which defeats the
+    kernels' group-granular skipping; after compaction the dead tiles
+    are one contiguous tail, so the intersect/refine/shade kernels'
+    existing liveness gates skip them wholesale.  Tile membership is
+    unchanged (whole tiles move), so every per-tile cull set is
+    IDENTICAL and eager outputs are bit-exact vs retile=False; under
+    jit the permutation shifts XLA fusion boundaries -> ~1-ULP drift,
+    same class as the refine knob.  Color contributions are gathered
+    back through the composed tile permutation at accumulation.
+    Incompatible with ``fuse_bounce`` (the fused kernel spans the
+    compaction point)."""
     from rt_rs_tpu.ops.pallas.shade_tile import (
         SUBGROUP,
         shade_bounce,
@@ -640,37 +669,74 @@ def trace_tiled(
             else {}
         )
 
-    def liveness(t, pid, active, rows_k):
-        """Per-bounce hit rows + validity update (shared by all
-        bounces).  With emit, rows came from the kernel's attribute
-        pass — for rays dead since an earlier bounce they hold the
-        actual hit's row (not row 0); every consumer masks by
-        ``active``, so the difference is unobservable.  Without, ONE
-        row gather per bounce (its transpose into component-major
-        fuses in for free — measured, PERF.md)."""
+    def liveness(t, pid, active, rows_k, pay, o2c):
+        """Per-bounce hit rows + validity update + (with ``retile``)
+        live-tile compaction — shared by all bounces.  With emit, rows
+        came from the kernel's attribute pass — for rays dead since an
+        earlier bounce they hold the actual hit's row (not row 0);
+        every consumer masks by ``active``, so the difference is
+        unobservable.  Without, ONE row gather per bounce (its
+        transpose into component-major fuses in for free — measured,
+        PERF.md).  Under retile the permutation is applied BEFORE the
+        row gather so only the 11 per-ray state components move
+        tile-wise; validity via ``pid != 0`` is exactly the
+        ``rows[25] != -1`` test (no_negative_materials is required
+        above: only the null sentinel row 0 has material -1)."""
         pid = jnp.where(active, pid, 0)
-        if emit:
-            rows = rows_k
-            valid_b = (pid != 0) & (t < cfg.t_max) & (t > cfg.t_min)
-        else:
-            rows = table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
-            valid_b = (
-                (rows[25] != -1.0) & (t < cfg.t_max) & (t > cfg.t_min)
-            )
+        valid_b = (pid != 0) & (t < cfg.t_max) & (t > cfg.t_min)
         active = active & valid_b
+        if retile:
+            perm = jnp.argsort(
+                ~jnp.any(active, axis=1), stable=True
+            ).astype(jnp.int32)
+            inv = _invert_perm(perm)
+            o2c = inv if o2c is None else jnp.take(inv, o2c)
+            t = jnp.take(t, perm, axis=0)
+            pid = jnp.take(pid, perm, axis=0)
+            active = jnp.take(active, perm, axis=0)
+            pay = jnp.take(pay, perm, axis=1)
+            if emit:
+                rows = jnp.take(rows_k, perm, axis=1)
+            else:
+                rows = table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
+        else:
+            rows = (
+                rows_k
+                if emit
+                else table[pid.reshape(-1)].T.reshape(32, t_tiles, r)
+            )
         live_sg = (
             active.reshape(t_tiles // SUBGROUP, SUBGROUP * r)
             .any(axis=1)
             .astype(jnp.int32)
         )
-        return pid, rows, active, live_sg
+        return t, pid, rows, active, live_sg, pay, o2c
 
+    def add_color(color, contrib, o2c):
+        """Accumulate a bounce's contribution (in that bounce's tile
+        order) into the original-order image: a bijective tile
+        permutation maps every tile somewhere, so one [T]-index
+        gather restores original order (dead tiles contribute zeros
+        from wherever they landed)."""
+        if o2c is None:
+            return color + contrib
+        return color + jnp.take(contrib, o2c, axis=1)
+
+    if retile and fuse_bounce:
+        raise ValueError(
+            "retile is incompatible with fuse_bounce (the fused kernel "
+            "spans the compaction point)"
+        )
+
+    o2c = None
     rows_k = None
     if emit:
         t, pid, rows_k = intersect_rows_fn(payload, valid)
     else:
         t, pid = intersect_fn(payload, valid)
-    pid, rows, active, live_sg = liveness(t, pid, active, rows_k)
+    t, pid, rows, active, live_sg, payload, o2c = liveness(
+        t, pid, active, rows_k, payload, o2c
+    )
 
     def shadow_valids(active, cmasks):
         """Per-light shadow-ray validity: live AND the light can
@@ -752,22 +818,32 @@ def trace_tiled(
 
         caps_st = jnp.stack(list(caps))
         if last:
-            color = color + shade_post(
-                rows, payload, t, active.astype(jnp.float32),
-                sh_t, sh_id.astype(jnp.float32), caps_st,
-                live_sg, lights,
-                first_bounce=bounce == 0,
-                t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
-                blocked_mode=blocked_mode,
+            color = add_color(
+                color,
+                shade_post(
+                    rows, payload, t, active.astype(jnp.float32),
+                    sh_t, sh_id.astype(jnp.float32), caps_st,
+                    live_sg, lights,
+                    first_bounce=bounce == 0,
+                    t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
+                    blocked_mode=blocked_mode,
+                ),
+                o2c,
             )
             break
-        pid2, rows2, active2, live_sg2 = liveness(t2, pid2, active, rows2_k)
+        # liveness may retile (permute live tiles to the front) the
+        # NEXT bounce's state; this bounce's shade_post below still
+        # runs in the CURRENT order (o2c), the new order (o2c2) takes
+        # over at the shift.
+        t2, pid2, rows2, active2, live_sg2, nxt_p, o2c2 = liveness(
+            t2, pid2, active, rows2_k, nxt, o2c
+        )
         emit_next2 = bounce + 2 < cfg.bounces
         if fuse_bounce:
             contrib, sh_pays, caps, cmasks, nxt2 = shade_bounce(
                 rows, payload, t, active.astype(jnp.float32),
                 sh_t, sh_id.astype(jnp.float32), caps_st,
-                rows2, nxt, t2, pid2.astype(jnp.float32),
+                rows2, nxt_p, t2, pid2.astype(jnp.float32),
                 jnp.stack([live_sg, live_sg2]), lights,
                 first_bounce=bounce == 0,
                 t_min=cfg.t_min, t_max=cfg.t_max,
@@ -776,20 +852,24 @@ def trace_tiled(
             )
             color = color + contrib
         else:
-            color = color + shade_post(
-                rows, payload, t, active.astype(jnp.float32),
-                sh_t, sh_id.astype(jnp.float32), caps_st,
-                live_sg, lights,
-                first_bounce=bounce == 0,
-                t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
-                blocked_mode=blocked_mode,
+            color = add_color(
+                color,
+                shade_post(
+                    rows, payload, t, active.astype(jnp.float32),
+                    sh_t, sh_id.astype(jnp.float32), caps_st,
+                    live_sg, lights,
+                    first_bounce=bounce == 0,
+                    t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret,
+                    blocked_mode=blocked_mode,
+                ),
+                o2c,
             )
             sh_pays, caps, cmasks, nxt2 = shade_pre(
-                rows2, nxt, t2, pid2.astype(jnp.float32), live_sg2,
+                rows2, nxt_p, t2, pid2.astype(jnp.float32), live_sg2,
                 lights, emit_next=emit_next2, interpret=interpret,
             )
-        rows, payload, t, pid = rows2, nxt, t2, pid2
-        active, live_sg, nxt = active2, live_sg2, nxt2
+        rows, payload, t, pid = rows2, nxt_p, t2, pid2
+        active, live_sg, nxt, o2c = active2, live_sg2, nxt2, o2c2
 
     return color
 
@@ -809,6 +889,7 @@ def render_tiled(
     intersect_anyhit_fn: TiledIntersectFn | None = None,
     fuse_bounce: bool = False,
     shadow_cull: bool = True,
+    retile: bool = False,
 ) -> jax.Array:
     """Full frame via the tiled path -> color [H, W, 3] float32.
 
@@ -820,7 +901,7 @@ def render_tiled(
         scene, intersect_fn, cfg, payload, valid, camera_pos,
         interpret=interpret, intersect_rows_fn=intersect_rows_fn,
         intersect_anyhit_fn=intersect_anyhit_fn,
-        fuse_bounce=fuse_bounce, shadow_cull=shadow_cull,
+        fuse_bounce=fuse_bounce, shadow_cull=shadow_cull, retile=retile,
     )
     flat = color.reshape(3, -1)[:, :n_pixels].T  # [n_pixels, 3]
     if block is not None:

@@ -42,6 +42,13 @@ from rt_rs_tpu.utils.sync import device_sync
 DYNAMIC_TRI_CHUNK = 64
 
 
+def retile_default(n_pixels: int) -> bool:
+    """Measured default for the between-bounce live-tile compaction
+    (``shade.trace_tiled(retile=)``): placeholder False until the
+    round-4 TPU A/B lands (experiments/retile_ab.py)."""
+    return False
+
+
 # Packet rays are generated in pixel-block order (shade.camera_rays
 # block=): a packet tile covers a compact 2-D pixel block instead of a
 # raster strip.  Output is bit-identical; tile frusta (and secondary-
@@ -55,7 +62,7 @@ DYNAMIC_TRI_CHUNK = 64
     jax.jit,
     static_argnames=(
         "handler", "cfg", "width", "height", "block", "force_rows",
-        "fuse_bounce", "shadow_cull",
+        "fuse_bounce", "shadow_cull", "retile",
     ),
 )
 def _render_jit(
@@ -72,6 +79,7 @@ def _render_jit(
     force_rows: bool | None = None,
     fuse_bounce: bool = False,
     shadow_cull: bool = True,
+    retile: bool = False,
 ) -> jax.Array:
     if arrays.no_negative_materials:
         # Tiled frame path: rays stay in the packet kernel's
@@ -112,6 +120,7 @@ def _render_jit(
             intersect_anyhit_fn=anyhit_fn,
             fuse_bounce=fuse_bounce,
             shadow_cull=shadow_cull,
+            retile=retile,
         )
     # Scenes with real negative-material prims need the gather-based
     # shadow validity check — the XLA reference path.
@@ -136,6 +145,7 @@ class Renderer:
         force_rows: bool | None = None,
         fuse_bounce: bool = False,
         shadow_cull: bool = True,
+        retile: bool | None = None,
     ):
         """``force_rows`` overrides the handler's rows_default for the
         kernel-emitted-rows intersect branch (None = rows for resident
@@ -143,11 +153,14 @@ class Renderer:
         ``fuse_bounce=False`` disables the fused post+pre shading
         kernel (A/B measurement knob); ``shadow_cull=False`` disables
         the zero-contribution shadow-ray cull (A/B knob; the cull is
-        output-exact — shade.trace_tiled)."""
+        output-exact — shade.trace_tiled); ``retile`` packs live ray
+        tiles to the front between bounces (output-exact, see
+        shade.trace_tiled; None = the measured size default)."""
         self.scene = scene
         self.force_rows = force_rows
         self.fuse_bounce = fuse_bounce
         self.shadow_cull = shadow_cull
+        self.retile = retile
         self.config = config or Config()
         if isinstance(handler, IntrsHandler):
             self.handler = handler
@@ -207,6 +220,11 @@ class Renderer:
             force_rows=self.force_rows,
             fuse_bounce=self.fuse_bounce,
             shadow_cull=self.shadow_cull,
+            retile=(
+                retile_default(self.width * self.height)
+                if self.retile is None
+                else self.retile
+            ),
         )
         if block:
             device_sync(out)
@@ -253,28 +271,44 @@ class Renderer:
         (timing.rs:221-300).  ``sync_every=1`` recovers strict per-frame
         latency measurement.  Unsynced frames stay live on the device,
         so memory holds ``sync_every`` frames (~24 MB each at 1080p)."""
-        times: list[float] = []
-        pending: list[jax.Array] = []
-        t0 = time.perf_counter()
-        for i in range(frames):
-            frame = self.render_frame(block=False)
-            pending.append(frame)
-            if len(pending) >= sync_every or i == frames - 1:
-                device_sync(frame)
-                dt = (time.perf_counter() - t0) / len(pending)
-                times.extend([dt] * len(pending))
-                if on_frame is not None:
-                    # Device arrays on purpose: converting every frame
-                    # to numpy would drag full images through the host
-                    # link inside the timed loop; callbacks that want
-                    # pixels call np.asarray themselves.
-                    base = i + 1 - len(pending)
-                    for j, f in enumerate(pending):
-                        on_frame(base + j, f, dt)
-                pending = []
-                t0 = time.perf_counter()
-            self.orbit(orbit_mult)
-        return times
+        return _animate_loop(
+            lambda i: self.render_frame(block=False),
+            self.orbit, frames, orbit_mult, on_frame, sync_every,
+        )
+
+
+def _animate_loop(
+    render_one: Callable[[int], jax.Array],
+    orbit: Callable[[float], None],
+    frames: int,
+    orbit_mult: float,
+    on_frame: Callable[[int, jax.Array, float], None] | None,
+    sync_every: int,
+) -> list[float]:
+    """The shared animate/benchmark frame loop (see Renderer.animate
+    for the sync-cadence rationale)."""
+    times: list[float] = []
+    pending: list[jax.Array] = []
+    t0 = time.perf_counter()
+    for i in range(frames):
+        frame = render_one(i)
+        pending.append(frame)
+        if len(pending) >= sync_every or i == frames - 1:
+            device_sync(frame)
+            dt = (time.perf_counter() - t0) / len(pending)
+            times.extend([dt] * len(pending))
+            if on_frame is not None:
+                # Device arrays on purpose: converting every frame
+                # to numpy would drag full images through the host
+                # link inside the timed loop; callbacks that want
+                # pixels call np.asarray themselves.
+                base = i + 1 - len(pending)
+                for j, f in enumerate(pending):
+                    on_frame(base + j, f, dt)
+            pending = []
+            t0 = time.perf_counter()
+        orbit(orbit_mult)
+    return times
 
 
 class DynamicRenderer:
@@ -457,10 +491,83 @@ class DynamicRenderer:
             )
 
         self._step = jax.jit(step)
+        # Renderer-parity surface state (orbit/animate/stats).
+        self._rest_arrays = base
+        self._tri_chunk = tc
+        self._refit = refit
+        self._stats: IntrsStats | None = None
+
+    # ------------------------------------------------------------------
+    # Renderer-parity surface: orbit/animate/render_image/stats make the
+    # dynamic path drive the same benchmark protocol as the static one
+    # (timing.run_benchmark_protocol; the reference's event-loop pacing,
+    # src/lib/mod.rs:324-417).
+
+    @property
+    def stats(self) -> IntrsStats:
+        """Chunk-table byte footprint at the rest pose (IntrsStats
+        analogue, handlers/mod.rs:47-50).  Shapes are static across
+        frames, so the rest-pose build's footprint is THE footprint."""
+        if self._stats is None:
+            from rt_rs_tpu.handlers.lbvh import chunk_footprint, device_chunks
+
+            base = self._rest_arrays
+            accel = device_chunks(
+                base.pa, base.pb, base.pc, tri_chunk=self._tri_chunk,
+                shade_rows=base.shade_table if self._use_rows else None,
+            )
+            self._stats = IntrsStats(
+                name=f"LBVH-{'refit' if self._refit else 'rebuild'}",
+                size=chunk_footprint(accel),
+            )
+        return self._stats
+
+    def orbit(self, mult: float) -> None:
+        """Advance the orbit camera by ``0.0314 * mult`` radians
+        (camera.rs:177-189)."""
+        self.camera = self.camera.orbited(mult)
+
+    def render_image(self, vert_pos=None, vert_norm=None) -> np.ndarray:
+        """One frame as uint8 RGB (see Renderer.render_image)."""
+        frame = np.asarray(
+            self.render_frame(vert_pos, vert_norm, block=False)
+        )
+        return np.round(np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    def animate(
+        self,
+        frames: int,
+        orbit_mult: float = 1.0,
+        on_frame: Callable[[int, np.ndarray, float], None] | None = None,
+        sync_every: int = 20,
+        vertex_fn: Callable[[int], Any] | None = None,
+    ) -> list[float]:
+        """Render ``frames`` orbit steps with per-frame rebuild/refit;
+        returns per-frame seconds (sync cadence as Renderer.animate —
+        the measured protocol, PERF.md dynamic rows).
+
+        ``vertex_fn(i)`` supplies frame ``i``'s geometry as
+        ``vert_pos`` or ``(vert_pos, vert_norm)``; default is the rest
+        pose (the accel rebuild still runs every frame — BASELINE
+        config 5's cost profile)."""
+
+        def render_one(i: int) -> jax.Array:
+            v = vertex_fn(i) if vertex_fn is not None else None
+            vp, vn = v if isinstance(v, tuple) else (v, None)
+            return self.render_frame(vp, vn, block=False)
+
+        return _animate_loop(
+            render_one, self.orbit, frames, orbit_mult, on_frame,
+            sync_every,
+        )
 
     def render_frame(
-        self, vert_pos, vert_norm=None, block: bool = True
+        self, vert_pos=None, vert_norm=None, block: bool = True
     ) -> jax.Array:
+        """Render one frame of the given geometry (rest pose when
+        ``vert_pos`` is None) -> [H, W, 3] float32 device array."""
+        if vert_pos is None:
+            vert_pos = self.scene.vert_pos
         # Host-ness is judged on the CALLER's arguments, before the
         # norm default is substituted (the default is a device array,
         # which must not disable the per-frame vert_pos check).

@@ -54,6 +54,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="capture a jax.profiler trace of the run into DIR "
         "(the GPU-timestamp-query analogue, SURVEY §5)",
     )
+    # Multi-chip surface (parallel.make_sharded_render; no reference
+    # counterpart — the reference is single-GPU, its only parallelism
+    # is the dispatch grid, state/mod.rs:704-708).
+    p.add_argument(
+        "--bands", type=int, default=None, metavar="N",
+        help="shard the image over N devices (data-parallel rows axis)",
+    )
+    p.add_argument(
+        "--shards", type=int, default=None, metavar="M",
+        help="additionally shard the triangle chunk table over M "
+        "devices per band (scene-parallel axis; needs a packet-table "
+        "handler, e.g. --handler-pbvh)",
+    )
+    # Dynamic-geometry surface (renderer.DynamicRenderer; BASELINE
+    # config 5 "animated teapot with per-frame refit").
+    p.add_argument(
+        "--dynamic", action="store_true",
+        help="per-frame on-device accel REBUILD of animated geometry "
+        "(1%%-amplitude vertex wobble over the orbit)",
+    )
+    p.add_argument(
+        "--refit", action="store_true",
+        help="like --dynamic but refit-only: Morton order frozen at "
+        "the rest pose, per-frame bounds recompute (implies --dynamic)",
+    )
     return p
 
 
@@ -88,6 +113,98 @@ def pick_handler(args) -> tuple[str, dict]:
                 "--handler-pbvh takes an optional epsilon value (f32)"
             )
     return "blank", {}  # reference default (load.rs:189-192)
+
+
+def make_dynamic(args, config):
+    """--dynamic/--refit: the per-frame rebuild/refit engine
+    (BASELINE config 5 as a CLI call)."""
+    from rt_rs_tpu.renderer import DynamicRenderer
+    from rt_rs_tpu.scene import Scene
+
+    return DynamicRenderer(
+        Scene.load(args.path), config=config, refit=args.refit
+    )
+
+
+def dynamic_wobble(scene):
+    """1%-amplitude breathing of the rest pose — the measured dynamic
+    benchmark deformation (experiments/dynamic_1080.py, PERF.md)."""
+    import math
+
+    import numpy as np
+
+    rest = scene.vert_pos.astype(np.float32)
+
+    def fn(i: int):
+        return rest * np.float32(1.0 + 0.01 * math.sin(i * 0.3))
+
+    return fn
+
+
+def run_sharded(args, config, handler_name: str, handler_kwargs: dict) -> int:
+    """--bands/--shards: multi-chip rendering over a device mesh
+    (parallel.make_sharded_render; bands = data-parallel image rows,
+    shards = scene-parallel chunk-table slices)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rt_rs_tpu.handlers import get_handler
+    from rt_rs_tpu.parallel import (
+        hybrid_mesh,
+        image_mesh,
+        make_sharded_render,
+    )
+    from rt_rs_tpu.scene import Scene
+    from rt_rs_tpu.utils.image import write_png
+    from rt_rs_tpu.utils.sync import device_sync
+
+    bands = args.bands or 1
+    shards = args.shards or 1
+    if bands * shards > len(jax.devices()):
+        raise SystemExit(
+            f"--bands {bands} x --shards {shards} needs "
+            f"{bands * shards} devices; jax sees {len(jax.devices())} "
+            "(for CPU testing set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
+    mesh = hybrid_mesh(bands, shards) if shards > 1 else image_mesh(bands)
+
+    scene = Scene.load(args.path)
+    width, height = config.resolution.size()
+    handler = get_handler(handler_name, **handler_kwargs)
+    arrays = scene.pack()
+    accel, arrays = handler.build(scene, arrays)
+    stats = handler.stats(accel)
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    print(f"handler: {stats.name} ({stats.size} B) on mesh {shape}")
+
+    fn = make_sharded_render(
+        handler, accel, arrays, config.compute, width, height, mesh,
+        resolution=config.resolution,
+    )
+    camera = scene.camera
+    frame = lum = None
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        frame, lum = fn(
+            jnp.asarray(camera.pos, jnp.float32),
+            jnp.asarray(camera.at, jnp.float32),
+        )
+        camera = camera.orbited(1.0)
+    device_sync(frame)
+    dt = (time.perf_counter() - t0) / max(args.frames, 1) * 1e3
+    print(
+        f"{args.frames} frames, {dt:.2f} ms/frame (incl. compile), "
+        f"mean luminance {float(lum):.4f}"
+    )
+    if args.out and frame is not None:
+        img = np.round(np.clip(np.asarray(frame), 0.0, 1.0) * 255.0)
+        write_png(args.out, img.astype(np.uint8))
+        print(f"wrote {args.out}")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -128,10 +245,17 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     handler, kwargs = pick_handler(args)
-    renderer = Renderer(
-        Scene.load(args.path), config=config, handler=handler,
-        handler_kwargs=kwargs,
-    )
+
+    if args.bands or args.shards:
+        return run_sharded(args, config, handler, kwargs)
+
+    if args.dynamic or args.refit:
+        renderer = make_dynamic(args, config)
+    else:
+        renderer = Renderer(
+            Scene.load(args.path), config=config, handler=handler,
+            handler_kwargs=kwargs,
+        )
     print(f"handler: {renderer.stats.name} ({renderer.stats.size} B)")
 
     if args.profile:
@@ -168,8 +292,16 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         image = None
-        for _ in range(args.frames):
-            image = renderer.render_image()
+        vfn = (
+            dynamic_wobble(renderer.scene)
+            if (args.dynamic or args.refit)
+            else None
+        )
+        for i in range(args.frames):
+            image = (
+                renderer.render_image(vfn(i)) if vfn
+                else renderer.render_image()
+            )
             renderer.orbit(1.0)
         if args.out and image is not None:
             write_png(args.out, image)

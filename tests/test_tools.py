@@ -119,3 +119,86 @@ def test_benchmark_protocol_writes_chart(tmp_path, scenes_dir, monkeypatch):
     ])
     assert rc == 0
     assert (tmp_path / "benchmark.png").exists()
+
+
+def test_load_sharded_matches_single_chip(tmp_path, scenes_dir):
+    """--bands/--shards (the multi-chip CLI surface): the sharded frame
+    equals the single-chip one bit-for-bit on the virtual CPU mesh."""
+    from rt_rs_tpu.utils.image import read_png
+
+    single = tmp_path / "single.png"
+    rc = load.main([
+        "--path", str(scenes_dir / "default.json"),
+        "--handler-pbvh",
+        "--width", "64", "--height", "48",
+        "--frames", "1", "--out", str(single),
+    ])
+    assert rc == 0
+    sharded = tmp_path / "sharded.png"
+    rc = load.main([
+        "--path", str(scenes_dir / "default.json"),
+        "--handler-pbvh",
+        "--width", "64", "--height", "48",
+        "--frames", "1", "--out", str(sharded),
+        "--bands", "2", "--shards", "2",
+    ])
+    assert rc == 0
+    a, b = read_png(str(single)), read_png(str(sharded))
+    assert a.any()
+    np.testing.assert_array_equal(b, a)
+
+
+def test_load_dynamic_refit(tmp_path, scenes_dir):
+    """--refit (BASELINE config 5 as a CLI call): per-frame refit of
+    wobbled geometry renders a non-empty frame."""
+    from rt_rs_tpu.utils.image import read_png
+
+    out = tmp_path / "dyn.png"
+    rc = load.main([
+        "--path", str(scenes_dir / "default.json"),
+        "--refit",
+        "--width", "32", "--height", "24",
+        "--frames", "2", "--out", str(out),
+    ])
+    assert rc == 0
+    img = read_png(str(out))
+    assert img.shape == (24, 32, 3)
+    assert img.any()
+
+
+def test_dynamic_benchmark_protocol(tmp_path, scenes_dir, monkeypatch):
+    """DynamicRenderer drives the study benchmark protocol (stats /
+    render_frame / animate parity with Renderer)."""
+    monkeypatch.chdir(tmp_path)
+    rc = load.main([
+        "--path", str(scenes_dir / "default.json"),
+        "--dynamic",
+        "--width", "16", "--height", "16",
+        "--benchmark", "--bench-frames", "10",
+    ])
+    assert rc == 0
+    assert (tmp_path / "benchmark.png").exists()
+
+
+def test_debug_tree_check(capsys, scenes_dir):
+    """`debug_tree --check`: 0 violations on a healthy build; corrupted
+    trees are caught (the v3-based invariant validator)."""
+    from rt_rs_tpu.bvh import build_bvh
+    from rt_rs_tpu.tools.debug_tree import check_tree
+
+    scene = Scene.load(str(scenes_dir / "default.json"))
+    data = build_bvh(scene, eps=0.02, target_item_count=2)
+    assert check_tree(data, scene) == 0
+    out = capsys.readouterr().out
+    assert "0 violations" in out
+    assert "degenerate" in out  # v3 geometry stats printed
+
+    # Corrupt the leaf ranges (drop a slot): must be flagged.
+    import dataclasses
+    import numpy as np
+
+    leaf = int(np.nonzero(np.asarray(data.item_count) > 0)[0][0])
+    counts = np.asarray(data.item_count).copy()
+    counts[leaf] -= 1
+    bad = dataclasses.replace(data, item_count=counts)
+    assert check_tree(bad, None) > 0
