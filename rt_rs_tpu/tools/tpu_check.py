@@ -23,9 +23,9 @@ import sys
 
 import numpy as np
 
-from rt_rs_tpu.config import Config, Resolution
+from rt_rs_tpu.config import ComputeConfig, Config, Resolution
 from rt_rs_tpu.renderer import Renderer
-from rt_rs_tpu.scene import Scene
+from rt_rs_tpu.scene import Scene, presets
 from rt_rs_tpu.utils.image import read_png
 
 SCENES = "/root/reference/scenes"
@@ -35,12 +35,29 @@ HANDLERS = ("naive", "bvh", "rf_bvh", "pbvh")
 
 def main() -> int:
     ok = True
-    for name in ("default", "teatime"):
+    jobs = {
+        name: (Scene.load(f"{SCENES}/{name}.json"), 4)
+        for name in ("default", "teatime")
+    }
+    # The special-branch goldens (rt_rs_tpu/scene/presets.py): cessna
+    # (NaN normals -> rows fallback), shuttle (multi-light), ghost
+    # (material=-1 -> XLA shade.render fallback), teapots3
+    # (beyond-VMEM -> segmented kernel).
+    jobs.update(presets.golden_set())
+    for name, (scene, bounces) in jobs.items():
         golden = read_png(f"{GOLDENS}/{name}_64x48.png").astype(int)
         for handler in HANDLERS:
+            if name == "cessna" and handler == "rf_bvh":
+                # cessna has a >8-prim unsplittable cluster the RF
+                # format cannot represent (RfFormatError; same skip as
+                # tests/test_scenes_matrix.py).
+                continue
             r = Renderer(
-                Scene.load(f"{SCENES}/{name}.json"),
-                config=Config(resolution=Resolution.sized(64, 48)),
+                scene,
+                config=Config(
+                    compute=ComputeConfig(bounces=bounces),
+                    resolution=Resolution.sized(64, 48),
+                ),
                 handler=handler,
             )
             img = r.render_image().astype(int)
@@ -112,25 +129,9 @@ def main() -> int:
     ).render_frame()
     check("fused vs unfused bounce @160x120", fused, unfused)
 
-    # Segmented (beyond-VMEM) scene: 3 teapots = 18,960 tris.
-    big = Scene.empty()
-    big.camera = scene.camera
-    big.light_pos = scene.light_pos
-    big.light_strength = scene.light_strength
-    big.mat_color = scene.mat_color
-    big.mat_albedo = scene.mat_albedo
-    big.mat_spec = scene.mat_spec
-    nv = scene.vert_pos.shape[0]
-    vp, vn, pi, pm = [], [], [], []
-    for i, dx in enumerate((-8.0, 0.0, 8.0)):
-        vp.append(scene.vert_pos + np.array([dx, 0, 0], np.float32))
-        vn.append(scene.vert_norm)
-        pi.append(scene.prim_indices + i * nv)
-        pm.append(scene.prim_material)
-    big.vert_pos = np.concatenate(vp)
-    big.vert_norm = np.concatenate(vn)
-    big.prim_indices = np.concatenate(pi)
-    big.prim_material = np.concatenate(pm)
+    # Segmented (beyond-VMEM) scene: 3 teapots = 18,960 tris (the
+    # teapots3 golden scene).
+    big = presets.tiled_teapots(3)
     from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
 
     seg_r = Renderer(big, config=cfg_small, handler="pbvh")

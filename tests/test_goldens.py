@@ -3,18 +3,49 @@
 The scalar oracle (tests/oracle.py) is the semantic authority but slow;
 these goldens pin the full pipeline's output cheaply.  They were
 rendered with the naive (brute-force) backend — itself oracle-verified
-in test_render.py — on CPU at 64x48.
+in test_render.py — on CPU at 64x48 (experiments/make_goldens.py; the
+scene set lives in rt_rs_tpu/scene/presets.py so tools/tpu_check.py
+diffs the SAME images through the compiled kernels on TPU).
+
+Beyond the two shipped JSON scenes the set pins the special branches:
+cessna (NaN-normal degenerate geometry -> rows fallback; multi-light),
+shuttle (second multi-light mesh), ghost (a real material=-1 prim ->
+the XLA shade.render fallback), teapots3 (beyond-VMEM -> the
+segmented streaming kernel).
 """
 
 import numpy as np
 import pytest
 
-from rt_rs_tpu.config import Config, Resolution
+from rt_rs_tpu.config import ComputeConfig, Config, Resolution
 from rt_rs_tpu.renderer import Renderer
-from rt_rs_tpu.scene import Scene
+from rt_rs_tpu.scene import Scene, presets
 from rt_rs_tpu.utils.image import read_png
 
 GOLDENS = "tests/goldens"
+W, H = 64, 48
+
+
+def _check(img, name):
+    golden = read_png(f"{GOLDENS}/{name}_{W}x{H}.png")
+    # 8-bit output; tolerate 1 count of rounding jitter on a handful of
+    # pixels (backend op-order differences).
+    diff = np.abs(img.astype(int) - golden.astype(int))
+    assert diff.max() <= 2, f"max diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.3%} pixels differ"
+
+
+def _render(scene, bounces, handler, kwargs):
+    r = Renderer(
+        scene,
+        config=Config(
+            compute=ComputeConfig(bounces=bounces),
+            resolution=Resolution.sized(W, H),
+        ),
+        handler=handler,
+        handler_kwargs=kwargs,
+    )
+    return r.render_image()
 
 
 @pytest.mark.parametrize("name", ["default", "teatime"])
@@ -24,16 +55,42 @@ GOLDENS = "tests/goldens"
     ("pbvh", {"interpret": True}),
 ])
 def test_golden(scenes_dir, name, handler, kwargs):
-    golden = read_png(f"{GOLDENS}/{name}_64x48.png")
+    scene = Scene.load(str(scenes_dir / f"{name}.json"))
+    _check(_render(scene, 4, handler, kwargs), name)
+
+
+@pytest.mark.parametrize("name", ["cessna", "shuttle", "ghost"])
+@pytest.mark.parametrize("handler,kwargs", [
+    ("naive", {}),
+    ("bvh", {}),
+])
+def test_golden_presets(meshes_dir, scenes_dir, name, handler, kwargs):
+    scene, bounces = presets.golden_set(
+        meshes_dir=str(meshes_dir), scenes_dir=str(scenes_dir)
+    )[name]
+    _check(_render(scene, bounces, handler, kwargs), name)
+
+
+def test_golden_ghost_fallback_branch(meshes_dir, scenes_dir):
+    """The ghost golden must actually exercise the negative-material
+    XLA fallback (pbvh interpret kernels through renderer._render_jit's
+    else-branch)."""
+    scene = presets.ghost_scene(-1)
+    assert not scene.pack().no_negative_materials
+    _check(_render(scene, 4, "pbvh", {"interpret": True}), "ghost")
+
+
+def test_golden_segmented(scenes_dir):
+    """teapots3 (18,960 prims) must route pbvh to the segmented
+    kernel and reproduce the naive golden through it."""
+    from rt_rs_tpu.ops.pallas.packet_trace import SegmentedTriChunks
+
+    scene = presets.tiled_teapots(3, scenes_dir=str(scenes_dir))
     r = Renderer(
-        Scene.load(str(scenes_dir / f"{name}.json")),
-        config=Config(resolution=Resolution.sized(64, 48)),
-        handler=handler,
-        handler_kwargs=kwargs,
+        scene,
+        config=Config(resolution=Resolution.sized(W, H)),
+        handler="pbvh",
+        handler_kwargs={"interpret": True},
     )
-    img = r.render_image()
-    # 8-bit output; tolerate 1 count of rounding jitter on a handful of
-    # pixels (backend op-order differences).
-    diff = np.abs(img.astype(int) - golden.astype(int))
-    assert diff.max() <= 2, f"max diff {diff.max()}"
-    assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.3%} pixels differ"
+    assert isinstance(r.accel, SegmentedTriChunks)
+    _check(r.render_image(), "teapots3")
