@@ -44,8 +44,15 @@ DYNAMIC_TRI_CHUNK = 64
 
 def retile_default(n_pixels: int) -> bool:
     """Measured default for the between-bounce live-tile compaction
-    (``shade.trace_tiled(retile=)``): placeholder False until the
-    round-4 TPU A/B lands (experiments/retile_ab.py)."""
+    (``shade.trace_tiled(retile=)``): False at EVERY size — the
+    round-4 TPU A/B (experiments/retile_ab.py) measured it flat at
+    384x288 (5.5 vs 5.4 ms) and a clear REGRESSION at 640x480 (11.7
+    vs 10.7) and 1080p (60.4 vs 50.6): permuting the per-bounce state
+    (payload + rows + the o2c color gather) costs more than the
+    dead-group skips save, since the kernels already skip dead
+    32-tile groups and (collapse) their block copies.  Kept as a knob
+    for re-measurement if the bounce structure changes (PERF.md
+    round 4)."""
     return False
 
 
