@@ -76,7 +76,7 @@ def bench_chained(r: Renderer, k: int, total_frames: int) -> float:
         last, pos = fn(r.arrays, r.accel, pos, at)
     device_sync(pos)
     ms = (time.perf_counter() - t0) / total_frames * 1e3
-    assert np.asarray(last).any()
+    assert last is not None and np.asarray(last).shape[0] == k
     return ms
 
 
@@ -97,18 +97,19 @@ CASES = {
     "blank": ("blank", 384, 288, 64),
 }
 
-for name, (handler, w, h, frames) in CASES.items():
-    if PART not in ("all", name):
-        continue
-    r = Renderer(
-        Scene.load(SCENE),
-        config=Config(resolution=Resolution.sized(w, h)),
-        handler=handler,
-    )
-    for rep in range(3):
-        line = [f"{name} {w}x{h} loop: {bench_loop(r, frames):.2f}"]
-        for k in (4, 16):
-            if frames % k:
-                continue
-            line.append(f"k={k}: {bench_chained(r, k, frames):.2f}")
-        print("  ".join(line) + " ms/frame", flush=True)
+if __name__ == "__main__":
+    for name, (handler, w, h, frames) in CASES.items():
+        if PART not in ("all", name):
+            continue
+        r = Renderer(
+            Scene.load(SCENE),
+            config=Config(resolution=Resolution.sized(w, h)),
+            handler=handler,
+        )
+        for rep in range(3):
+            line = [f"{name} {w}x{h} loop: {bench_loop(r, frames):.2f}"]
+            for k in (4, 16):
+                if frames % k:
+                    continue
+                line.append(f"k={k}: {bench_chained(r, k, frames):.2f}")
+            print("  ".join(line) + " ms/frame", flush=True)

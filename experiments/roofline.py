@@ -60,25 +60,46 @@ PART = sys.argv[1] if len(sys.argv) > 1 else "both"
 # 1. synthetic practical peak
 
 
-def _fma_kernel(x_ref, o_ref, *, iters):
-    def body(_, x):
-        return x * jnp.float32(0.999999) + jnp.float32(1e-7)
+_PEAK_CHAINS = 16  # independent vreg-sized accumulator chains
 
-    o_ref[...] = jax.lax.fori_loop(0, iters, body, x_ref[...])
+
+def _fma_kernel(x_ref, o_ref, *, iters):
+    """``_PEAK_CHAINS`` independent (8, 128) FMA chains.  The first
+    version of this kernel carried the whole (256, 512) block through
+    the loop — that carry spills to VMEM every iteration, so it
+    measured VMEM bandwidth (0.62 Tflop/s), not compute.  A few
+    register-resident independent chains pipeline the FMA latency
+    away and measure the actual VPU issue rate."""
+    accs = tuple(
+        x_ref[8 * i : 8 * (i + 1), :] + jnp.float32(i)
+        for i in range(_PEAK_CHAINS)
+    )
+
+    def body(_, accs):
+        return tuple(
+            a * jnp.float32(0.999999) + jnp.float32(1e-7) for a in accs
+        )
+
+    accs = jax.lax.fori_loop(0, iters, body, accs)
+    out = accs[0]
+    for a in accs[1:]:
+        out = out + a
+    o_ref[...] = out
 
 
 def practical_peak() -> float:
-    """Achieved f32 FLOP/s of a pure FMA chain on (256, 512) VMEM
-    blocks (grid 64) — 2 flops per element-iteration."""
-    iters, rows, cols, grid = 512, 256, 512, 64
+    """Achieved f32 FLOP/s of independent register-resident FMA
+    chains — 2 flops per element-iteration per chain."""
+    iters, grid = 4096, 256
+    rows, cols = 8 * _PEAK_CHAINS, 128
     x = jnp.ones((grid * rows, cols), jnp.float32)
     fn = jax.jit(
         lambda x: pl.pallas_call(
             partial(_fma_kernel, iters=iters),
             grid=(grid,),
             in_specs=[pl.BlockSpec((rows, cols), lambda i: (i, 0))],
-            out_specs=pl.BlockSpec((rows, cols), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            out_specs=pl.BlockSpec((8, cols), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((grid * 8, cols), x.dtype),
         )(x)
     )
     device_sync(fn(x))  # compile + warm
@@ -89,7 +110,7 @@ def practical_peak() -> float:
         out = fn(x)
     device_sync(out)
     dt = (time.perf_counter() - t0) / reps
-    flops = 2.0 * iters * rows * cols * grid
+    flops = 2.0 * iters * _PEAK_CHAINS * 8 * cols * grid
     return flops / dt
 
 
@@ -231,20 +252,42 @@ def mt_kernel_ms(scene, w, h, frames=10):
         if "TPU" in n or "/device" in n.lower() or "xla" in n.lower()
     }
     totals = defaultdict(float)
+    longname = {}
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         if dev_pids and e.get("pid") not in dev_pids:
             continue
-        totals[e.get("name", "?")] += e["dur"]
-    # The MT kernels compile as mosaic custom-calls whose names carry
-    # the pallas kernel symbol.
-    mt = {
-        n: d / frames / 1e3 for n, d in totals.items()
-        if "mt_kernel" in n or "mt_stream" in n
-    }
-    other = sum(d for n, d in totals.items()) / frames / 1e3
-    return mt, other
+        n = e.get("name", "?")
+        totals[n] += e["dur"]
+        if n not in longname:
+            longname[n] = e.get("args", {}).get("long_name", "")
+    # The MT kernels compile as custom-calls named _render_jit.NN; the
+    # pallas symbol is NOT in the op name, so classify by the HLO
+    # long_name's output-shape signature: the closest-hit(+rows)
+    # kernel returns the (t f32[T,1,r], pid s32[T,1,r][, rows
+    # f32[32,T,r]]) tuple; the any-hit kernel a single s32[T*L,1,r].
+    closest, anyhit = [], []
+    for n, d in totals.items():
+        ln = longname.get(n, "")
+        if " = (f32[" in ln and ", s32[" in ln:
+            closest.append((n, d))
+        elif " = s32[" in ln and ",1,256]" in ln.split("custom-call")[0]:
+            anyhit.append((n, d))
+
+    def order(items):
+        # program order = the .NN suffix
+        def key(nd):
+            try:
+                return int(nd[0].rsplit(".", 1)[-1])
+            except ValueError:
+                return 1 << 30
+        return [
+            (n, d / frames / 1e3) for n, d in sorted(items, key=key)
+        ]
+
+    other = sum(totals.values()) / frames / 1e3
+    return order(closest), order(anyhit), other
 
 
 def main():
@@ -278,18 +321,37 @@ def main():
             f"{lives.tolist()}"
         )
 
-        mt, total_dev = mt_kernel_ms(scene, w, h)
-        mt_total = sum(mt.values())
+        closest_ms, anyhit_ms, total_dev = mt_kernel_ms(scene, w, h)
+        mt_total = sum(d for _, d in closest_ms + anyhit_ms)
         print(
             f"{w}x{h}: MT kernel device time {mt_total:.3f} ms/frame "
-            f"of {total_dev:.3f} total; per-op:"
+            f"of {total_dev:.3f} total"
         )
-        for n, d in sorted(mt.items(), key=lambda kv: -kv[1]):
-            print(f"    {d:8.4f} ms  {n[:100]}")
+        # Pair per-call: the counting record alternates closest(rows)/
+        # anyhit per bounce in program order; the kernel events are in
+        # program order by .NN suffix.
+        by_kind = {"closest": iter(closest_ms), "rows": iter(closest_ms),
+                   "anyhit": iter(anyhit_ms)}
+        for i, (kind, e, live) in enumerate(zip(kinds, ents, lives)):
+            try:
+                n, d = next(by_kind[kind])
+            except StopIteration:
+                print(f"  call {i} {kind}: no kernel event matched")
+                continue
+            e = int(e)
+            us_e = d * 1e3 / max(e, 1)
+            slots = e * tc * 256
+            achieved = slots * OPS_PER_SLOT / max(d * 1e-3, 1e-9)
+            print(
+                f"  call {i} {kind:>7} ({n.rsplit('.', 1)[-1]:>3}): "
+                f"{d:7.3f} ms, {e:6d} entries, {int(live):7d} live -> "
+                f"{us_e:6.3f} us/entry, {achieved/1e12:5.2f} Tflop/s "
+                f"({achieved/peak*100:5.1f}% of peak)"
+            )
 
         slots = total_entries * tc * 256
         ops = slots * OPS_PER_SLOT
-        achieved = ops / (mt_total * 1e-3)
+        achieved = ops / max(mt_total * 1e-3, 1e-9)
         print(
             f"{w}x{h}: {slots/1e6:.1f}M slots/frame, "
             f"{achieved/1e12:.3f} Tflop/s achieved = "
