@@ -562,6 +562,7 @@ def trace_tiled(
     fuse_bounce: bool = False,
     shadow_cull: bool = True,
     retile: bool = False,
+    narrow: int | None = None,
 ) -> jax.Array:
     """The bounce loop over component-major ray tiles -> color [3, T, r].
 
@@ -607,7 +608,18 @@ def trace_tiled(
     same class as the refine knob.  Color contributions are gathered
     back through the composed tile permutation at accumulation.
     Incompatible with ``fuse_bounce`` (the fused kernel spans the
-    compaction point)."""
+    compaction point).
+
+    ``narrow`` (lane count, e.g. 128): secondary/shadow intersect
+    calls run on laneways-SPLIT ray tiles — [.., T, r] reshaped to
+    [.., T*m, narrow] (free: ray order is row-major preserved, tile t
+    becomes m consecutive sub-tiles), so divergent batches cull over
+    narrower ray unions at less per-entry lattice math; outputs
+    reshape back exactly.  Per-ray math is unchanged, so results are
+    bit-identical modulo XLA fusion (same class as ``refine``).
+    Primaries are never split (coherent tiles double their entry
+    lists — the global ray_tile=128 A/B lost at every size, PERF.md
+    round 4)."""
     from rt_rs_tpu.ops.pallas.shade_tile import (
         SUBGROUP,
         shade_bounce,
@@ -655,6 +667,39 @@ def trace_tiled(
     active = valid
     table = scene.shade_table
     emit = intersect_rows_fn is not None
+
+    def narrowed(fn):
+        """Laneways tile split for one intersect call (``narrow``):
+        inputs [.., T', r] -> [.., T'*m, narrow], outputs reshaped
+        back.  Pure reshapes — ray order is preserved row-major, so
+        the inverse is exact; only the per-tile cull sets change
+        (conservatively, per sub-tile)."""
+        if fn is None or narrow is None or r <= narrow:
+            return fn
+        if r % narrow:
+            raise ValueError(f"narrow={narrow} must divide ray_tile={r}")
+        m = r // narrow
+
+        def split(x):
+            if x is None:
+                return None
+            if x.ndim == 2:
+                return x.reshape(x.shape[0] * m, narrow)
+            return x.reshape(x.shape[0], x.shape[1] * m, narrow)
+
+        def unsplit(x):
+            if x.ndim == 2:
+                return x.reshape(x.shape[0] // m, r)
+            return x.reshape(x.shape[0], x.shape[1] // m, r)
+
+        def fn2(payload, valid, t_cap=None, **kw):
+            out = fn(split(payload), split(valid), t_cap=split(t_cap), **kw)
+            if isinstance(out, tuple):
+                return tuple(unsplit(o) for o in out)
+            return unsplit(out)
+
+        fn2.supports_refine = getattr(fn, "supports_refine", False)
+        return fn2
 
     def _refine_kw(fn):
         # Secondary/shadow batches opt into the per-ray cull refinement
@@ -728,6 +773,12 @@ def trace_tiled(
             "spans the compaction point)"
         )
 
+    # Secondary/shadow calls optionally run on laneways-split tiles;
+    # the primary call below never does (see the narrow doc above).
+    n_intersect_fn = narrowed(intersect_fn)
+    n_rows_fn = narrowed(intersect_rows_fn)
+    n_anyhit_fn = narrowed(intersect_anyhit_fn)
+
     o2c = None
     rows_k = None
     if emit:
@@ -769,24 +820,24 @@ def trace_tiled(
             sh_valid = jnp.concatenate(shadow_valids(active, cmasks))
             sh_caps = jnp.concatenate(list(caps))
             if intersect_anyhit_fn is not None:
-                blocked = intersect_anyhit_fn(
+                blocked = n_anyhit_fn(
                     sh_pay, sh_valid, t_cap=sh_caps,
-                    **_refine_kw(intersect_anyhit_fn),
+                    **_refine_kw(n_anyhit_fn),
                 )
                 sh_t = blocked.reshape(k, t_tiles, r).astype(jnp.float32)
                 sh_id = sh_t
                 blocked_mode = True
             else:
-                st, sid = intersect_fn(
+                st, sid = n_intersect_fn(
                     sh_pay, sh_valid, t_cap=sh_caps,
-                    **_refine_kw(intersect_fn),
+                    **_refine_kw(n_intersect_fn),
                 )
                 sh_t = st.reshape(k, t_tiles, r)
                 sh_id = sid.reshape(k, t_tiles, r)
                 blocked_mode = False
             if not last:
-                t2, pid2, rows2_k = intersect_rows_fn(
-                    nxt, active, **_refine_kw(intersect_rows_fn)
+                t2, pid2, rows2_k = n_rows_fn(
+                    nxt, active, **_refine_kw(n_rows_fn)
                 )
         else:
             pay_cat = jnp.concatenate(
@@ -804,9 +855,9 @@ def trace_tiled(
                     else []
                 )
             )
-            st, sid = intersect_fn(
+            st, sid = n_intersect_fn(
                 pay_cat, valid_cat, t_cap=caps_cat,
-                **_refine_kw(intersect_fn),
+                **_refine_kw(n_intersect_fn),
             )
             sh_t = st[: k * t_tiles].reshape(k, t_tiles, r)
             sh_id = sid[: k * t_tiles].reshape(k, t_tiles, r)
@@ -890,6 +941,7 @@ def render_tiled(
     fuse_bounce: bool = False,
     shadow_cull: bool = True,
     retile: bool = False,
+    narrow: int | None = None,
 ) -> jax.Array:
     """Full frame via the tiled path -> color [H, W, 3] float32.
 
@@ -902,6 +954,7 @@ def render_tiled(
         interpret=interpret, intersect_rows_fn=intersect_rows_fn,
         intersect_anyhit_fn=intersect_anyhit_fn,
         fuse_bounce=fuse_bounce, shadow_cull=shadow_cull, retile=retile,
+        narrow=narrow,
     )
     flat = color.reshape(3, -1)[:, :n_pixels].T  # [n_pixels, 3]
     if block is not None:

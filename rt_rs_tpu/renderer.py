@@ -69,7 +69,7 @@ def retile_default(n_pixels: int) -> bool:
     jax.jit,
     static_argnames=(
         "handler", "cfg", "width", "height", "block", "force_rows",
-        "fuse_bounce", "shadow_cull", "retile",
+        "fuse_bounce", "shadow_cull", "retile", "narrow",
     ),
 )
 def _render_jit(
@@ -87,6 +87,7 @@ def _render_jit(
     fuse_bounce: bool = False,
     shadow_cull: bool = True,
     retile: bool = False,
+    narrow: int | None = None,
 ) -> jax.Array:
     if arrays.no_negative_materials:
         # Tiled frame path: rays stay in the packet kernel's
@@ -128,6 +129,7 @@ def _render_jit(
             fuse_bounce=fuse_bounce,
             shadow_cull=shadow_cull,
             retile=retile,
+            narrow=narrow,
         )
     # Scenes with real negative-material prims need the gather-based
     # shadow validity check — the XLA reference path.
@@ -153,6 +155,7 @@ class Renderer:
         fuse_bounce: bool = False,
         shadow_cull: bool = True,
         retile: bool | None = None,
+        narrow: int | None = None,
     ):
         """``force_rows`` overrides the handler's rows_default for the
         kernel-emitted-rows intersect branch (None = rows for resident
@@ -168,6 +171,7 @@ class Renderer:
         self.fuse_bounce = fuse_bounce
         self.shadow_cull = shadow_cull
         self.retile = retile
+        self.narrow = narrow
         self.config = config or Config()
         if isinstance(handler, IntrsHandler):
             self.handler = handler
@@ -227,6 +231,7 @@ class Renderer:
             force_rows=self.force_rows,
             fuse_bounce=self.fuse_bounce,
             shadow_cull=self.shadow_cull,
+            narrow=self.narrow,
             retile=(
                 retile_default(self.width * self.height)
                 if self.retile is None
