@@ -69,6 +69,24 @@ def orbit_ms(r: Renderer, frames: int, rotations: float = 1.0) -> float:
     return (time.perf_counter() - t0) / frames * 1e3
 
 
+def orbit_chained_ms(
+    r: Renderer, frames: int, rotations: float = 1.0, k: int = 16
+) -> float:
+    """`orbit_ms` through the chained-dispatch animate path (k frames
+    per dispatch, orbit advanced in-graph) — the round-4 product API
+    that amortizes the ~1.5-2 ms/frame axon dispatch floor at small
+    frame sizes (PERF.md; 1080p measured slower chained, so only the
+    384x288 headline uses it)."""
+    frames = -(-frames // k) * k  # a partial chain renders (and the
+    # timer would charge) k frames anyway — round up and count them all
+    mult = rotations * 2.0 * math.pi / frames / 0.0314
+    r.animate(k, orbit_mult=mult, sync_every=k, chain=k)  # compile+warm
+    times = r.animate(
+        frames, orbit_mult=mult, sync_every=frames, chain=k
+    )
+    return float(np.mean(times)) * 1e3
+
+
 def bench_lbvh_build() -> float:
     """On-device LBVH build of cessna (~3.8K tris) -> ms (the
     BASELINE.json 'LBVH build ms (cessna)' metric)."""
@@ -97,16 +115,21 @@ def main() -> None:
     sizes = {"384": (384, 288, 60), "1080": (1920, 1080, 12)}
     rs = {k: make_renderer(w, h) for k, (w, h, _) in sizes.items()}
     samples: dict[str, list[float]] = {k: [] for k in sizes}
+    samples["384_chained"] = []
     for _ in range(REPEATS):
         for k, (_, _, frames) in sizes.items():
             samples[k].append(orbit_ms(rs[k], frames))
+        samples["384_chained"].append(
+            orbit_chained_ms(rs["384"], sizes["384"][2])
+        )
     med = {k: float(np.median(v)) for k, v in samples.items()}
     spread = {
         k: [round(min(v), 3), round(max(v), 3)] for k, v in samples.items()
     }
     lbvh_ms = bench_lbvh_build()
 
-    ms_384, ms_1080 = med["384"], med["1080"]
+    ms_384, ms_1080 = med["384_chained"], med["1080"]
+    ms_384_loop = med["384"]
     px_1080 = 1920 * 1080
     primary_mrays = px_1080 / (ms_1080 * 1e-3) / 1e6
     dispatched_mrays = (
@@ -118,7 +141,9 @@ def main() -> None:
             f"interleaved orbit repeats "
             f"(1080p: {ms_1080:.1f} ms = {primary_mrays:.1f} Mrays/s "
             f"primary-equiv, {dispatched_mrays:.0f} Mrays/s dispatched; "
-            f"cessna on-device LBVH build {lbvh_ms:.2f} ms)"
+            f"cessna on-device LBVH build {lbvh_ms:.2f} ms; chained "
+            f"16-frame dispatches via animate(chain=), unchained loop "
+            f"{ms_384_loop:.2f} ms)"
         ),
         "value": round(ms_384, 3),
         "unit": "ms/frame",

@@ -65,6 +65,21 @@ def retile_default(n_pixels: int) -> bool:
 # Resolution.block(handler.block_lanes); see Renderer.__init__.
 
 
+def _orbit_f32(pos: jax.Array, at: jax.Array, mult) -> jax.Array:
+    """In-graph f32 twin of ``CameraUniform.orbited`` (camera.rs:
+    177-189; host math is f64) — used by ``Renderer.animate(chain=)``
+    to advance the orbit between chained frames inside one dispatch."""
+    from rt_rs_tpu.scene.camera import ORBIT_RATE
+
+    x = pos[0] - at[0]
+    z = pos[2] - at[2]
+    theta = jnp.arctan2(z, x) + ORBIT_RATE * mult
+    r = jnp.sqrt(x * x + z * z)
+    return jnp.stack(
+        [at[0] + r * jnp.cos(theta), pos[1], at[2] + r * jnp.sin(theta)]
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -172,6 +187,7 @@ class Renderer:
         self.shadow_cull = shadow_cull
         self.retile = retile
         self.narrow = narrow
+        self._chain_cache: dict[int, Any] = {}
         self.config = config or Config()
         if isinstance(handler, IntrsHandler):
             self.handler = handler
@@ -269,6 +285,7 @@ class Renderer:
         orbit_mult: float = 1.0,
         on_frame: Callable[[int, np.ndarray, float], None] | None = None,
         sync_every: int = 20,
+        chain: int | None = None,
     ) -> list[float]:
         """Render ``frames`` orbit steps; returns per-frame seconds.
 
@@ -282,11 +299,93 @@ class Renderer:
         swamp the compute time the reference's timestamp queries measure
         (timing.rs:221-300).  ``sync_every=1`` recovers strict per-frame
         latency measurement.  Unsynced frames stay live on the device,
-        so memory holds ``sync_every`` frames (~24 MB each at 1080p)."""
+        so memory holds ``sync_every`` frames (~24 MB each at 1080p).
+
+        ``chain`` (e.g. 16) renders that many frames per DISPATCH with
+        the orbit advanced in-graph, amortizing the per-dispatch host
+        cost (~1.3-2.3 ms/frame through the axon tunnel — the blank
+        frame measured 3.2 -> 0.9 ms/frame at chain=16, and the
+        384x288 teatime frame ~5.4 -> ~3.5-4; PERF.md round 4.  At
+        1080p the k-frame graph MEASURED SLOWER — device work dominates
+        and the larger graph schedules worse — so chain only where
+        frames are small).  The in-graph orbit is the f32 twin of
+        ``CameraUniform.orbited`` (f64 host math), so chained frames
+        1..k-1 see a camera a few ULP off the host loop's; the host
+        camera is re-synced exactly every dispatch, bounding the
+        drift to one chain."""
+        if chain is not None and chain > 1:
+            return self._animate_chained(
+                frames, orbit_mult, on_frame, sync_every, chain
+            )
         return _animate_loop(
             lambda i: self.render_frame(block=False),
             self.orbit, frames, orbit_mult, on_frame, sync_every,
         )
+
+    def _chained_fn(self, k: int):
+        """jit a k-frame render graph (one dispatch, orbit in-graph)."""
+        cached = self._chain_cache.get(k)
+        if cached is not None:
+            return cached
+        kw = dict(
+            handler=self.handler, cfg=self.config.compute,
+            width=self.width, height=self.height, block=self.block,
+            force_rows=self.force_rows, fuse_bounce=self.fuse_bounce,
+            shadow_cull=self.shadow_cull, narrow=self.narrow,
+            retile=(
+                retile_default(self.width * self.height)
+                if self.retile is None
+                else self.retile
+            ),
+        )
+
+        @jax.jit
+        def chained(arrays, accel, pos, at, mult):
+            outs = []
+            for _ in range(k):
+                outs.append(_render_jit(arrays, accel, pos, at, **kw))
+                pos = _orbit_f32(pos, at, mult)
+            return jnp.stack(outs), pos
+
+        self._chain_cache[k] = chained
+        return chained
+
+    def _animate_chained(
+        self, frames, orbit_mult, on_frame, sync_every, k
+    ) -> list[float]:
+        fn = self._chained_fn(k)
+        mult = jnp.float32(orbit_mult)
+        at = jnp.asarray(self.camera.at, jnp.float32)
+        times: list[float] = []
+        pending: list[jax.Array] = []  # stacked [k', H, W, 3] batches
+        done = 0
+        t0 = time.perf_counter()
+        while done < frames:
+            pos = jnp.asarray(self.camera.pos, jnp.float32)
+            stacked, _ = fn(self.arrays, self.accel, pos, at, mult)
+            m = min(k, frames - done)
+            pending.append(stacked[:m])
+            # Host camera stays canonical (f64 orbit math): re-sync it
+            # for the consumed frames so in-graph f32 drift never
+            # crosses a dispatch boundary.
+            for _ in range(m):
+                self.orbit(orbit_mult)
+            done += m
+            n_pend = sum(p.shape[0] for p in pending)
+            if n_pend >= sync_every or done >= frames:
+                device_sync(stacked)
+                dt = (time.perf_counter() - t0) / n_pend
+                times.extend([dt] * n_pend)
+                if on_frame is not None:
+                    base = done - n_pend
+                    i = 0
+                    for p in pending:
+                        for j in range(p.shape[0]):
+                            on_frame(base + i, p[j], dt)
+                            i += 1
+                pending = []
+                t0 = time.perf_counter()
+        return times
 
 
 def _animate_loop(
