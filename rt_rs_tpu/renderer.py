@@ -479,7 +479,15 @@ class DynamicRenderer:
             interpret = jax.default_backend() != "tpu"
 
         base = scene.pack()
-        prim_idx = jnp.asarray(scene.prim_indices.astype(np.int32))
+        # Same duplicate-triple collapse the static pack applies
+        # (scene/arrays.py intersect_indices): topology is static, so
+        # the per-frame corner gathers below inherit the reference's
+        # triple-based self-exclusion semantics at zero cost.
+        from rt_rs_tpu.scene.arrays import intersect_indices
+
+        prim_idx = jnp.asarray(
+            intersect_indices(scene.prim_indices).astype(np.int32)
+        )
         if refit:
             # One-time sort at the rest pose; bake the permutation into
             # prim_idx/prim_mat so frame steps skip sort + 8-array

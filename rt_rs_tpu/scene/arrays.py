@@ -29,6 +29,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def intersect_indices(prim_indices: np.ndarray) -> np.ndarray:
+    """Vertex-index triples as seen by the INTERSECTION path: each later
+    exact duplicate of an earlier ordered triple is collapsed to a
+    zero-area ``(a, a, a)`` triangle.
+
+    The reference's shadow/bounce self-exclusion compares the excluded
+    prim's vertex-index TRIPLE, not its prim id
+    (``handlers/basic.rs:87-91``: a candidate is tested only if ANY of
+    a/b/c differs), so an exact duplicate triangle (same ordered triple
+    under a different prim id) is (1) excluded together with its twin
+    and (2) never otherwise observable — identical corner data gives a
+    bit-identical ``t``, and the strict ``<`` replace in the ascending
+    scan (``compute.wgsl`` / ``basic.rs:95-104``) keeps the
+    first-scanned copy, so the lower prim id always wins the tie.
+
+    Collapsing the later copy to a degenerate triangle (Möller–Trumbore
+    ``det == 0`` → the eps dead zone → guaranteed miss in every backend,
+    including padding slots, which already rely on this) therefore
+    reproduces the reference's triple semantics EXACTLY while every
+    backend keeps its zero-cost prim-id exclusion: the collapsed copy
+    never hits (so the lower id wins closest-hit ties, and its id can
+    never become an exclusion key), and excluding the canonical copy by
+    id excludes "all prims with that triple" because the others cannot
+    hit.  ``(a, a, a)`` rather than all-zeros keeps the slot's corners
+    at a real mesh vertex so chunk/leaf bounds stay local.  Identity
+    (same object returned) when there are no duplicates — the case for
+    every bundled scene and every OBJ import (importers never emit
+    duplicate faces).  Gated against the triple-faithful oracle by
+    tests/test_duplicates.py.
+    """
+    idx = np.asarray(prim_indices)
+    if idx.shape[0] < 2:
+        return idx
+    _, first = np.unique(idx, axis=0, return_index=True)
+    if first.shape[0] == idx.shape[0]:
+        return idx
+    canon = np.zeros(idx.shape[0], dtype=bool)
+    canon[first] = True
+    out = idx.copy()
+    out[~canon, 1] = out[~canon, 0]
+    out[~canon, 2] = out[~canon, 0]
+    return out
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SceneArrays:
@@ -72,7 +116,11 @@ class SceneArrays:
     @classmethod
     def from_scene(cls, scene) -> "SceneArrays":
         p = scene.num_prims
-        idx = scene.prim_indices.astype(np.int64)
+        # Duplicate-triple collapse (reference triple-based
+        # self-exclusion, see intersect_indices): affects only scenes
+        # with exact duplicate triangles — identity for every bundled
+        # scene and OBJ import.
+        idx = intersect_indices(scene.prim_indices).astype(np.int64)
         vp = scene.vert_pos.astype(np.float32)
         vn = scene.vert_norm.astype(np.float32)
 

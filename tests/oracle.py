@@ -80,7 +80,11 @@ class Oracle:
         best_t = cfg.t_max + 1.0
         best_s = 0
         for s in range(1, self.prim_idx.shape[0]):
-            if s == excl:
+            # Reference self-exclusion is by VERTEX-INDEX TRIPLE, not
+            # prim id (basic.rs:87-91: the candidate is tested only if
+            # ANY of a/b/c differs from the excluded prim's) — an exact
+            # duplicate triangle is excluded together with its twin.
+            if (self.prim_idx[s] == self.prim_idx[excl]).all():
                 continue
             w = self.intrs_tri(o, d, s)
             if w is None:
@@ -252,8 +256,10 @@ class FastOracle(Oracle):
             w = np.einsum("ij,ij->i", e2.astype(np.float64), q) / det
         ok &= (w > cfg.t_min) & (w < cfg.t_max)
         ok[0] = False  # null sentinel (loop starts at s=1)
-        if 0 < excl < ok.shape[0]:
-            ok[excl] = False
+        # Triple-based self-exclusion (basic.rs:87-91), as in the
+        # scalar loop above: every prim sharing the excluded prim's
+        # exact vertex-index triple is skipped, not just `excl` itself.
+        ok &= ~np.all(self.prim_idx == self.prim_idx[excl], axis=1)
         if not ok.any():
             return cfg.t_max + 1.0, 0
         w = np.where(ok, w, np.inf)
