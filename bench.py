@@ -111,7 +111,76 @@ def bench_lbvh_build() -> float:
     return (time.perf_counter() - t0) / 20 * 1e3
 
 
+def golden_check() -> bool:
+    """Compiled-kernel correctness attestation (VERDICT round-4 item
+    3): the six golden preset scenes at 64x48 through the production
+    pbvh path vs ``tests/goldens`` (the same images the CPU suite pins
+    in interpret mode), plus one collapse=False-vs-default diff (the
+    only default the CPU suite cannot execute) and one rows-vs-gather
+    diff.  Cheap (~tiny frames; compiles dominate) and recorded in the
+    BENCH json as ``correct`` so the driver artifact attests
+    correctness, not just speed.  tools/tpu_check.py remains the
+    detailed manual gate."""
+    from rt_rs_tpu.config import ComputeConfig
+    from rt_rs_tpu.scene import presets
+    from rt_rs_tpu.utils.image import read_png
+
+    ok = True
+    jobs = {
+        name: (Scene.load(f"/root/reference/scenes/{name}.json"), 4)
+        for name in ("default", "teatime")
+    }
+    jobs.update(presets.golden_set())
+    for name, (scene, bounces) in jobs.items():
+        r = Renderer(
+            scene,
+            config=Config(
+                compute=ComputeConfig(bounces=bounces),
+                resolution=Resolution.sized(64, 48),
+            ),
+            handler="pbvh",
+        )
+        img = r.render_image().astype(int)
+        golden = read_png(f"tests/goldens/{name}_64x48.png").astype(int)
+        diff = np.abs(img - golden)
+        good = diff.max() <= 2 and (diff > 0).mean() < 0.02
+        if not good:
+            print(f"# golden FAIL: {name} max {diff.max()}", flush=True)
+        ok &= good
+
+    # Cross-path diffs on teatime 64x48: the collapse default (exact by
+    # contract -> zero tolerance) and the kernel-emitted-rows path vs
+    # the gather path.
+    cfg = Config(resolution=Resolution.sized(64, 48))
+    scene = Scene.load(SCENE)
+    base = np.asarray(
+        Renderer(scene, config=cfg, handler="pbvh").render_frame()
+    )
+    nc = np.asarray(
+        Renderer(
+            scene, config=cfg, handler="pbvh",
+            handler_kwargs={"collapse": False},
+        ).render_frame()
+    )
+    if np.abs(nc - base).max() > 0.0:
+        print(f"# collapse FAIL: max {np.abs(nc - base).max()}", flush=True)
+        ok = False
+    gather = np.asarray(
+        Renderer(
+            scene, config=cfg, handler="pbvh", force_rows=False
+        ).render_frame()
+    )
+    if np.abs(gather - base).max() > 1e-5:
+        print(
+            f"# rows-vs-gather FAIL: max {np.abs(gather - base).max()}",
+            flush=True,
+        )
+        ok = False
+    return ok
+
+
 def main() -> None:
+    correct = golden_check()
     sizes = {"384": (384, 288, 60), "1080": (1920, 1080, 12)}
     rs = {k: make_renderer(w, h) for k, (w, h, _) in sizes.items()}
     samples: dict[str, list[float]] = {k: [] for k in sizes}
@@ -128,8 +197,14 @@ def main() -> None:
     }
     lbvh_ms = bench_lbvh_build()
 
-    ms_384, ms_1080 = med["384_chained"], med["1080"]
-    ms_384_loop = med["384"]
+    # Headline policy (VERDICT round-4 item 6): the 384x288 number is
+    # whichever path — plain dispatch loop or chained 16-frame
+    # dispatches — this session's interleaved protocol favors; both
+    # medians and spreads are always reported.
+    ms_1080 = med["1080"]
+    ms_384_loop, ms_384_chain = med["384"], med["384_chained"]
+    winner = "chain=16" if ms_384_chain <= ms_384_loop else "loop"
+    ms_384 = min(ms_384_chain, ms_384_loop)
     px_1080 = 1920 * 1080
     primary_mrays = px_1080 / (ms_1080 * 1e-3) / 1e6
     dispatched_mrays = (
@@ -138,18 +213,21 @@ def main() -> None:
     result = {
         "metric": (
             f"teatime 384x288 4-bounce frame time, median of {REPEATS} "
-            f"interleaved orbit repeats "
-            f"(1080p: {ms_1080:.1f} ms = {primary_mrays:.1f} Mrays/s "
+            f"interleaved orbit repeats, session winner = {winner} "
+            f"(loop {ms_384_loop:.2f} ms, chained {ms_384_chain:.2f} ms; "
+            f"1080p: {ms_1080:.1f} ms = {primary_mrays:.1f} Mrays/s "
             f"primary-equiv, {dispatched_mrays:.0f} Mrays/s dispatched; "
-            f"cessna on-device LBVH build {lbvh_ms:.2f} ms; chained "
-            f"16-frame dispatches via animate(chain=), unchained loop "
-            f"{ms_384_loop:.2f} ms)"
+            f"cessna on-device LBVH build {lbvh_ms:.2f} ms)"
         ),
         "value": round(ms_384, 3),
         "unit": "ms/frame",
         # >1 means faster than the reference's best handler on the same
         # protocol (RF-BVH, 214.569 ms on RX 580).
         "vs_baseline": round(REF_FRAME_MS / ms_384, 2),
+        # Compiled-kernel golden sweep + collapse/rows cross-checks
+        # (golden_check above) — BENCH attests correctness, not just
+        # speed.
+        "correct": correct,
         "spread_ms": spread,
     }
     print(json.dumps(result))

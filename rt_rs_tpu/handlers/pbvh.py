@@ -63,6 +63,7 @@ class PacketBvhIntrs(IntrsHandler):
         streaming_mode: str = "segmented",
         chain: bool = True,
         refine: str = "bounces",
+        collapse: bool = True,
     ):
         self.eps = eps
         self.target_item_count = target_item_count
@@ -96,6 +97,10 @@ class PacketBvhIntrs(IntrsHandler):
         if refine not in ("off", "bounces", "all"):
             raise ValueError(f"unknown refine mode {refine!r}")
         self.refine = refine
+        # Dead-group block-copy elision in the Pallas pipeline
+        # (packet_closest_hit_tiled collapse=; exact by contract,
+        # gated on TPU by tools/tpu_check.py).  Knob for A/B only.
+        self.collapse = collapse
         self.bvh_data: BvhData | None = self._data
 
     def _tag_refine(self, fn):
@@ -301,7 +306,7 @@ class PacketBvhIntrs(IntrsHandler):
             packet_closest_hit_tiled,
         )
 
-        kwargs = {}
+        kwargs = {"collapse": self.collapse}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):
@@ -337,7 +342,7 @@ class PacketBvhIntrs(IntrsHandler):
             resident_fits,
         )
 
-        kwargs = {}
+        kwargs = {"collapse": self.collapse}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):
@@ -397,7 +402,7 @@ class PacketBvhIntrs(IntrsHandler):
             resident_fits,
         )
 
-        kwargs = {}
+        kwargs = {"collapse": self.collapse}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):

@@ -1460,6 +1460,7 @@ def packet_closest_hit_segmented_tiled(
     any_hit: bool = False,
     chain: bool = True,
     refine: bool = False,
+    collapse: bool = True,
 ):
     """Tiled closest hit over a segmented (beyond-VMEM) table.
 
@@ -1500,6 +1501,7 @@ def packet_closest_hit_segmented_tiled(
                 t_min=t_min, t_max=t_max, eps=eps,
                 cull_block=cull_block, interpret=interpret,
                 pid_base=base, any_hit=True, refine=refine,
+                collapse=collapse,
             )
             # The kernel's outputs are unspecified for invalid rays —
             # mask before merging (chained calls shrink validity).
@@ -1521,7 +1523,7 @@ def packet_closest_hit_segmented_tiled(
             chunk_seg, payload, valid, cap_s,
             t_min=t_min, t_max=t_max, eps=eps,
             cull_block=cull_block, interpret=interpret, pid_base=base,
-            emit_rows=emit_rows, refine=refine,
+            emit_rows=emit_rows, refine=refine, collapse=collapse,
         )
         if emit_rows:
             t_s, id_s, rows_s = out

@@ -610,6 +610,8 @@ class DynamicRenderer:
             )
 
         self._step = jax.jit(step)
+        self._step_body = step  # unjitted: chained dispatch traces it
+        self._chain_cache: dict[int, Any] = {}
         # Renderer-parity surface state (orbit/animate/stats).
         self._rest_arrays = base
         self._tri_chunk = tc
@@ -660,6 +662,7 @@ class DynamicRenderer:
         on_frame: Callable[[int, np.ndarray, float], None] | None = None,
         sync_every: int = 20,
         vertex_fn: Callable[[int], Any] | None = None,
+        chain: int | None = None,
     ) -> list[float]:
         """Render ``frames`` orbit steps with per-frame rebuild/refit;
         returns per-frame seconds (sync cadence as Renderer.animate —
@@ -668,7 +671,21 @@ class DynamicRenderer:
         ``vertex_fn(i)`` supplies frame ``i``'s geometry as
         ``vert_pos`` or ``(vert_pos, vert_norm)``; default is the rest
         pose (the accel rebuild still runs every frame — BASELINE
-        config 5's cost profile)."""
+        config 5's cost profile).
+
+        ``chain`` (e.g. 16) renders that many frames per DISPATCH, the
+        dynamic twin of ``Renderer.animate(chain=)``: the host stacks
+        the chain's vertex arrays to ``[k, V, 3]`` (KBs/frame — cheap
+        against the ~2 ms/frame dispatch floor it amortizes) and ONE
+        jitted graph runs the k rebuild+trace steps with the orbit
+        advanced in-graph (f32 twin; the host camera is re-synced
+        every dispatch, same drift contract as the static chain —
+        tests/test_chain.py)."""
+        if chain is not None and chain > 1:
+            return self._animate_chained(
+                frames, orbit_mult, on_frame, sync_every, chain,
+                vertex_fn,
+            )
 
         def render_one(i: int) -> jax.Array:
             v = vertex_fn(i) if vertex_fn is not None else None
@@ -679,6 +696,88 @@ class DynamicRenderer:
             render_one, self.orbit, frames, orbit_mult, on_frame,
             sync_every,
         )
+
+    def _chained_fn(self, k: int):
+        """jit a k-frame dynamic graph: k (rebuild/refit + trace)
+        steps per dispatch over stacked [k, V, 3] vertices, orbit
+        advanced in-graph (see Renderer._chained_fn)."""
+        cached = self._chain_cache.get(k)
+        if cached is not None:
+            return cached
+        step = self._step_body
+
+        @jax.jit
+        def chained(vp, vn, pos, at, mult):
+            outs = []
+            for i in range(k):
+                outs.append(step(vp[i], vn[i], pos, at))
+                pos = _orbit_f32(pos, at, mult)
+            return jnp.stack(outs), pos
+
+        self._chain_cache[k] = chained
+        return chained
+
+    def _animate_chained(
+        self, frames, orbit_mult, on_frame, sync_every, k, vertex_fn
+    ) -> list[float]:
+        fn = self._chained_fn(k)
+        rest_vp = np.asarray(self.scene.vert_pos, np.float32)
+        rest_vn = np.asarray(self.scene.vert_norm, np.float32)
+
+        def frame_verts(i: int) -> tuple[np.ndarray, np.ndarray]:
+            v = vertex_fn(i) if vertex_fn is not None else None
+            vp, vn = v if isinstance(v, tuple) else (v, None)
+            return (
+                rest_vp if vp is None else np.asarray(vp, np.float32),
+                rest_vn if vn is None else np.asarray(vn, np.float32),
+            )
+
+        mult = jnp.float32(orbit_mult)
+        at = jnp.asarray(self.camera.at, jnp.float32)
+        times: list[float] = []
+        pending: list[jax.Array] = []
+        done = 0
+        t0 = time.perf_counter()
+        while done < frames:
+            # Partial final chain: overflow slots re-render the last
+            # frame's geometry (discarded) — vertex_fn is never called
+            # with an out-of-range index.
+            pairs = [
+                frame_verts(min(done + i, frames - 1)) for i in range(k)
+            ]
+            vp = np.stack([p[0] for p in pairs])
+            vn = np.stack([p[1] for p in pairs])
+            if self._use_rows and not (
+                np.isfinite(vp).all() and np.isfinite(vn).all()
+            ):
+                raise ValueError(
+                    "non-finite vertex positions/normals with "
+                    "kernel-emitted rows enabled; pass force_rows=False"
+                )
+            pos = jnp.asarray(self.camera.pos, jnp.float32)
+            stacked, _ = fn(
+                jnp.asarray(vp), jnp.asarray(vn), pos, at, mult
+            )
+            m = min(k, frames - done)
+            pending.append(stacked[:m])
+            for _ in range(m):
+                self.orbit(orbit_mult)
+            done += m
+            n_pend = sum(p.shape[0] for p in pending)
+            if n_pend >= sync_every or done >= frames:
+                device_sync(stacked)
+                dt = (time.perf_counter() - t0) / n_pend
+                times.extend([dt] * n_pend)
+                if on_frame is not None:
+                    base = done - n_pend
+                    i = 0
+                    for p in pending:
+                        for j in range(p.shape[0]):
+                            on_frame(base + i, p[j], dt)
+                            i += 1
+                pending = []
+                t0 = time.perf_counter()
+        return times
 
     def render_frame(
         self, vert_pos=None, vert_norm=None, block: bool = True

@@ -133,7 +133,10 @@ def test_duplicates_render_like_single_copy(single_image):
     twin, on every backend (the duplicate even has a DIFFERENT
     material — the first-scanned copy must win)."""
     dup = blocker_scene(3, dup_material=2)
-    for handler in ("naive", "bvh", "rf_bvh", "pbvh"):
+    # lbvh included: its on-device build Morton-sorts the UNcollapsed
+    # prim_indices (bvh/device.py) but intersects the packed collapsed
+    # corners, so duplicates must still be unobservable (ADVICE r4).
+    for handler in ("naive", "bvh", "rf_bvh", "pbvh", "lbvh"):
         np.testing.assert_allclose(
             render(dup, handler), single_image, atol=2e-6,
             err_msg=handler,
@@ -156,12 +159,68 @@ def test_duplicates_match_triple_faithful_oracle():
     assert diff.max() < 0.1
 
 
-def test_dynamic_renderer_duplicates(single_image):
+@pytest.mark.parametrize("refit", [False, True])
+def test_dynamic_renderer_duplicates(single_image, refit):
     """DynamicRenderer's per-frame corner gathers go through the same
-    collapsed index triples (renderer.py)."""
+    collapsed index triples (renderer.py) — in rebuild mode AND in
+    refit mode, which bakes a rest-pose Morton permutation over the
+    collapsed triples (ADVICE r4)."""
     dup = blocker_scene(3, dup_material=2)
     dr = DynamicRenderer(
-        dup, config=Config(resolution=Resolution.sized(W, H))
+        dup, config=Config(resolution=Resolution.sized(W, H)), refit=refit
     )
     frame = np.asarray(dr.render_frame(dup.vert_pos, dup.vert_norm))
     np.testing.assert_allclose(frame, single_image, atol=2e-6)
+
+
+@pytest.mark.parametrize("handler,kwargs", [
+    ("naive", {}),
+    ("bvh", {}),
+    ("rf_bvh", {}),
+    ("pbvh", {"interpret": True}),
+    ("lbvh", {"interpret": True}),
+])
+def test_degenerate_slots_never_hit(handler, kwargs):
+    """The pack-time collapse relies on packed ``(a, a, a)`` rows being
+    guaranteed misses in EVERY intersector (zero-area -> |det| below
+    the eps dead zone).  Pin that directly (ADVICE r4): fire rays at
+    the blocker, exclude the canonical copy, and the next hit must be
+    the WALL behind it — if a degenerate duplicate slot could hit, it
+    would win with the blocker's own (smaller) t."""
+    from rt_rs_tpu.handlers import get_handler
+
+    scene = blocker_scene(3, dup_material=2)
+    h = get_handler(handler, **kwargs)
+    accel, arrays = h.build(scene, scene.pack())
+    fn = h.intersect_fn(accel, arrays, ComputeConfig())
+
+    origin = np.array([0.0, 0.0, -4.0], np.float32)
+    # A blocker-interior point whose continuation (x=2.7, y=-1.35 at
+    # z=2) also lands inside the wall triangle.
+    target = np.array([1.8, -0.9, 0.0], np.float32)
+    d = target - origin
+    d /= np.linalg.norm(d)
+    n = 8
+    o = np.tile(origin, (n, 1))
+    dirs = np.tile(d.astype(np.float32), (n, 1))
+    valid = np.ones(n, bool)
+
+    t1, id1 = fn(o, dirs, np.zeros(n, np.int32), valid)
+    t1, id1 = np.asarray(t1), np.asarray(id1)
+    hit1 = np.asarray(arrays.pa)[id1[0]]
+    # First hit is the (non-degenerate) blocker at z == 0.
+    assert id1[0] > 0
+    assert not np.allclose(
+        np.asarray(arrays.pa)[id1[0]], np.asarray(arrays.pb)[id1[0]]
+    ), "hit a degenerate (a,a,a) slot"
+    assert abs(hit1[2]) < 1e-5, f"first hit not the blocker: {hit1}"
+
+    t2, id2 = fn(o, dirs, id1.astype(np.int32), valid)
+    t2, id2 = np.asarray(t2), np.asarray(id2)
+    hit2 = np.asarray(arrays.pa)[id2[0]]
+    # With the canonical copy excluded, only the degenerate duplicates
+    # remain at the blocker's location — the hit must fall through to
+    # the wall at z == 2.
+    assert id2[0] > 0 and id2[0] != id1[0]
+    assert abs(hit2[2] - 2.0) < 1e-5, f"second hit not the wall: {hit2}"
+    assert t2[0] > t1[0] + 1.0

@@ -48,23 +48,44 @@ def _render(scene, bounces, handler, kwargs):
     return r.render_image()
 
 
-@pytest.mark.parametrize("name", ["default", "teatime"])
-@pytest.mark.parametrize("handler,kwargs", [
+# The full handler matrix (VERDICT round-4 item 7: one uniform golden
+# gate).  rf_bvh runs its threaded (format-faithful) backend on CPU;
+# lbvh builds on device in interpret mode.  Non-applicable cells:
+# (cessna, rf_bvh) — a >8-prim unsplittable cluster the RF format
+# cannot represent (the reference panics on the same input, rf.rs:113);
+# (teapots3, lbvh) — lbvh rejects beyond-VMEM scenes by contract;
+# (teapots3, rf_bvh/naive/bvh on CPU) — minutes-long threaded/brute
+# renders, covered on TPU by tools/tpu_check.py instead.
+MATRIX = [
     ("naive", {}),
     ("bvh", {}),
+    ("rf_bvh", {}),
     ("pbvh", {"interpret": True}),
-])
+    ("lbvh", {"interpret": True}),
+]
+
+
+@pytest.mark.parametrize("name", ["default", "teatime"])
+@pytest.mark.parametrize("handler,kwargs", MATRIX)
 def test_golden(scenes_dir, name, handler, kwargs):
     scene = Scene.load(str(scenes_dir / f"{name}.json"))
     _check(_render(scene, 4, handler, kwargs), name)
 
 
 @pytest.mark.parametrize("name", ["cessna", "shuttle", "ghost"])
-@pytest.mark.parametrize("handler,kwargs", [
-    ("naive", {}),
-    ("bvh", {}),
-])
+@pytest.mark.parametrize("handler,kwargs", MATRIX)
 def test_golden_presets(meshes_dir, scenes_dir, name, handler, kwargs):
+    if name == "cessna" and handler == "rf_bvh":
+        from rt_rs_tpu.bvh.rf import RfFormatError
+
+        with pytest.raises(RfFormatError):
+            _render(
+                presets.golden_set(
+                    meshes_dir=str(meshes_dir), scenes_dir=str(scenes_dir)
+                )[name][0],
+                4, handler, kwargs,
+            )
+        return
     scene, bounces = presets.golden_set(
         meshes_dir=str(meshes_dir), scenes_dir=str(scenes_dir)
     )[name]
