@@ -64,6 +64,7 @@ class PacketBvhIntrs(IntrsHandler):
         chain: bool = True,
         refine: str = "bounces",
         collapse: bool = True,
+        early_exit: bool = False,
     ):
         self.eps = eps
         self.target_item_count = target_item_count
@@ -101,6 +102,9 @@ class PacketBvhIntrs(IntrsHandler):
         # (packet_closest_hit_tiled collapse=; exact by contract,
         # gated on TPU by tools/tpu_check.py).  Knob for A/B only.
         self.collapse = collapse
+        # Front-to-back sorted lists + in-loop exit (round-5
+        # prototype; bit-exact, tests/test_pbvh.py).  A/B knob.
+        self.early_exit = early_exit
         self.bvh_data: BvhData | None = self._data
 
     def _tag_refine(self, fn):
@@ -306,7 +310,8 @@ class PacketBvhIntrs(IntrsHandler):
             packet_closest_hit_tiled,
         )
 
-        kwargs = {"collapse": self.collapse}
+        kwargs = {"collapse": self.collapse,
+                  "early_exit": self.early_exit}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):
@@ -342,7 +347,8 @@ class PacketBvhIntrs(IntrsHandler):
             resident_fits,
         )
 
-        kwargs = {"collapse": self.collapse}
+        kwargs = {"collapse": self.collapse,
+                  "early_exit": self.early_exit}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):
@@ -402,7 +408,8 @@ class PacketBvhIntrs(IntrsHandler):
             resident_fits,
         )
 
-        kwargs = {"collapse": self.collapse}
+        kwargs = {"collapse": self.collapse,
+                  "early_exit": self.early_exit}
         if self.cull_block is not None:
             kwargs["cull_block"] = self.cull_block
         if isinstance(accel, DualTriChunks):

@@ -76,6 +76,10 @@ MAX_VMEM_CHUNKS = 1536
 TILE_GROUP = 32  # ray tiles processed per grid step (amortizes the
 # per-step pipeline overhead, which otherwise dominates when most
 # tiles are empty: 1080p teatime went ~135 ms -> see bench history)
+EXIT_CHECK = 8  # early_exit: refresh the running worst-best-t bound
+# every this many list entries (each refresh is a vector->scalar
+# reduce, the cost VERDICT r4 called 'the in-loop reduction overhead';
+# staleness only delays skips, never causes a wrong one)
 REFINE_SUB = 1  # default refine granularity: 1 = exact per-ray slabs
 # (chunk_overlap_mask_perray_cm).  MEASURED: subgroup interval boxes
 # barely tighten the lists (teatime bounce batches: interval 25.3K
@@ -311,9 +315,14 @@ def chunk_overlap_mask_cm(
     t_min: float,
     t_max: float,
     t_cap: jax.Array | None = None,  # [T, r]
+    want_near: bool = False,
 ) -> jax.Array:
     """``chunk_overlap_mask`` over component-major ray tiles (rays on
-    lanes) — reductions run along lanes, no [T,r,3] relayout."""
+    lanes) — reductions run along lanes, no [T,r,3] relayout.
+
+    ``want_near`` additionally returns the conservative per-(tile,
+    block) entry-distance lower bound (the slab ``near_lb``) — the
+    front-to-back sort key for the ``early_exit`` prelude."""
     big = jnp.float32(3.0e38)
     v = ray_valid[None, :, :]
     o_lo = jnp.min(jnp.where(v, o3, big), axis=2).T  # [T, 3]
@@ -322,7 +331,7 @@ def chunk_overlap_mask_cm(
     i_hi = jnp.max(jnp.where(v, inv3, -big), axis=2).T
     return _overlap_from_bounds(
         o_lo, o_hi, i_lo, i_hi, ray_valid, bmin, bmax,
-        t_min=t_min, t_max=t_max, t_cap=t_cap,
+        t_min=t_min, t_max=t_max, t_cap=t_cap, want_near=want_near,
     )
 
 
@@ -334,6 +343,7 @@ def _overlap_from_bounds(
     t_min: float,
     t_max: float,
     t_cap: jax.Array | None,
+    want_near: bool = False,
 ) -> jax.Array:
     wob = 2e-6 + 1e-5 * jnp.maximum(jnp.abs(bmin), jnp.abs(bmax))  # [Nc, 3]
     lo_b = bmin - wob
@@ -370,13 +380,16 @@ def _overlap_from_bounds(
             jnp.max(jnp.where(ray_valid, t_cap, -jnp.inf), axis=1),
             t_max,
         )[:, None]
-    return (
+    mask = (
         any_ray
         & nonempty
         & (near_lb <= far_ub)
         & (far_ub >= t_min)
         & (near_lb <= cap)
     )
+    if want_near:
+        return mask, jnp.maximum(near_lb, jnp.float32(t_min))
+    return mask
 
 
 def chunk_overlap_mask_perray_cm(
@@ -739,17 +752,22 @@ def _mt_kernel(
     ids_ref,  # SMEM (G, 1, Nc) int32: compacted chunk ids
     rays_ref,  # VMEM (8, G, R) f32 component-major: ox,oy,oz,dx,dy,dz,excl,pad
     tri_ref,  # VMEM (Nc, 8, LANES) f32: full chunk table
-    *refs,  # [attr_ref (Nc, 32, LANES)], out_t (G,1,R), out_id (G,1,R), [rows (32,G,R)]
+    *refs,  # [attr_ref (Nc, 32, LANES)], [ed_ref SMEM (G,1,Nc) f32],
+    # out_t (G,1,R), out_id (G,1,R), [rows (32,G,R)]
     t_min: float,
     t_max: float,
     eps: float,
     pid_base: float = 0.0,
     emit_attrs: bool = False,
     any_hit: bool = False,
+    early_exit: bool = False,
 ):
     del cidx_ref
+    refs = list(refs)
+    attr_ref = refs.pop(0) if emit_attrs else None
+    ed_ref = refs.pop(0) if early_exit else None
     if emit_attrs:
-        attr_ref, out_t_ref, out_id_ref, rows_ref = refs
+        out_t_ref, out_id_ref, rows_ref = refs
     elif any_hit:
         (out_blk_ref,) = refs
     else:
@@ -816,7 +834,14 @@ def _mt_kernel(
                 return jnp.where(ok & (w < cap), jnp.float32(1.0), blk)
 
             w = jnp.where(ok, w, miss)
-            better = w < bt
+            if early_exit:
+                # (t, pid)-lexicographic update: under the front-to-
+                # back reorder, first-seen no longer means smallest
+                # pid, so equal-t ties break explicitly (identical to
+                # the default path's ascending-scan outcome).
+                better = (w < bt) | ((w == bt) & (pid < bid))
+            else:
+                better = w < bt
             return jnp.where(better, w, bt), jnp.where(better, pid, bid)
 
         if any_hit:
@@ -831,9 +856,39 @@ def _mt_kernel(
 
         bt0 = jnp.full((tc, r), miss, dtype=jnp.float32)
         bid0 = jnp.zeros((tc, r), dtype=jnp.float32)
-        bt, bid = jax.lax.fori_loop(
-            0, counts_ref[tile0 + g], chunk_body, (bt0, bid0)
-        )
+        if early_exit:
+            # Sorted entry bounds + in-loop skip: a list entry whose
+            # conservative entry distance exceeds the tile's running
+            # worst best-t (max over rays of per-ray best) cannot
+            # improve any ray.  The worst bound refreshes every
+            # EXIT_CHECK entries (a vector->scalar reduce per refresh;
+            # staleness is conservative).  Rays still at miss
+            # (including padding/invalid rays) pin the bound high, so
+            # tiles containing any miss ray sweep their full list —
+            # the round-4 sizing's expected behavior.
+            def chunk_body_ee(k, carry):
+                bt, bid, worst = carry
+                bt, bid = jax.lax.cond(
+                    ed_ref[g, 0, k] <= worst,
+                    lambda bt, bid: chunk_body(k, (bt, bid)),
+                    lambda bt, bid: (bt, bid),
+                    bt, bid,
+                )
+                worst = jax.lax.cond(
+                    k % EXIT_CHECK == EXIT_CHECK - 1,
+                    lambda: jnp.max(jnp.min(bt, axis=0)),
+                    lambda: worst,
+                )
+                return bt, bid, worst
+
+            bt, bid, _ = jax.lax.fori_loop(
+                0, counts_ref[tile0 + g], chunk_body_ee,
+                (bt0, bid0, miss),
+            )
+        else:
+            bt, bid = jax.lax.fori_loop(
+                0, counts_ref[tile0 + g], chunk_body, (bt0, bid0)
+            )
 
         # Reduce the 8 sublane slots per ray; tie -> smallest prim id
         # (matches the naive loop's first-strictly-smaller semantics).
@@ -868,9 +923,27 @@ def _mt_kernel(
                 )
 
             acc0 = jnp.zeros((32, r), dtype=jnp.float32)
-            rows_ref[:, g, :] = jax.lax.fori_loop(
-                0, counts_ref[tile0 + g], attr_body, acc0
-            )
+            if early_exit:
+                # A chunk skipped by the final bound cannot contain any
+                # ray's winner (all its t >= entry > that ray's best),
+                # so its matmul contributes exact zeros — skip it.
+                worst_final = jnp.max(best)
+
+                def attr_body_ee(k, acc):
+                    return jax.lax.cond(
+                        ed_ref[g, 0, k] <= worst_final,
+                        lambda acc: attr_body(k, acc),
+                        lambda acc: acc,
+                        acc,
+                    )
+
+                rows_ref[:, g, :] = jax.lax.fori_loop(
+                    0, counts_ref[tile0 + g], attr_body_ee, acc0
+                )
+            else:
+                rows_ref[:, g, :] = jax.lax.fori_loop(
+                    0, counts_ref[tile0 + g], attr_body, acc0
+                )
 
     def subtile_body(g, _):
         jax.lax.cond(
@@ -976,10 +1049,25 @@ def packet_closest_hit_tiled(
     any_hit: bool = False,
     refine: bool = False,
     collapse: bool = True,
+    early_exit: bool = False,
 ):
     """Closest hit over pre-tiled component-major rays -> (t [T, r],
     pid [T, r]) — plus the winning prims' shade-table rows
     ([32, T, r]) when ``emit_rows`` is set.
+
+    ``early_exit`` (round-5 prototype, default OFF) sorts each tile's
+    culled chunk list front-to-back by conservative entry distance and
+    skips list entries whose entry bound exceeds the tile's running
+    worst best-t (refreshed every ``EXIT_CHECK`` iterations — stale
+    bounds only make skips rarer, never wrong).  Output is
+    BIT-identical to the default path: a skipped chunk's hits satisfy
+    ``t >= entry > best_t[r]`` for every ray, and the in-loop update
+    gains an explicit (t, pid)-lexicographic tie-break so the reorder
+    cannot flip equal-t winners (the default ascending-id scan keeps
+    the smallest pid; so does the tie-break).  Ignored for ``any_hit``
+    (its exit lever is the chained validity).  Sized round 4 at <=22%
+    of the primary call's blocks (PERF.md 'remaining divergence
+    levers'); measured by experiments/early_exit_ab.py.
 
     ``collapse`` (default on) removes the Pallas pipeline's block
     traffic for DEAD 32-tile groups: round-4 profiling showed each
@@ -1047,6 +1135,9 @@ def packet_closest_hit_tiled(
         )
     t_groups = t_tiles // TILE_GROUP
 
+    early_exit = early_exit and not any_hit
+    if early_exit and cull_block != 1:
+        raise ValueError("early_exit requires cull_block == 1")
     inv3 = 1.0 / payload[3:6]
     if cull_block > 1:
         blk_min = jnp.min(
@@ -1079,10 +1170,33 @@ def packet_closest_hit_tiled(
             t_min=t_min, t_max=t_max, t_cap=t_cap,
         )  # [T, Nb]
 
-    # Compact block ids per tile (stable argsort puts overlapping
-    # blocks first, ascending), then expand each block to its
-    # cull_block consecutive chunk ids.
-    order = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    nc_pad = -(-nc // 128) * 128  # SMEM row padding
+    ed = None
+    if early_exit:
+        # Front-to-back key: the conservative per-(tile, chunk) entry
+        # lower bound from the INTERVAL formulation (a valid bound for
+        # every ray in the tile, so correct for per-ray-refined list
+        # membership too).  Stable sort keeps ascending chunk ids
+        # among equal keys.
+        _, near = chunk_overlap_mask_cm(
+            payload[0:3], inv3, valid, blk_min, blk_max,
+            t_min=t_min, t_max=t_max, t_cap=t_cap, want_near=True,
+        )
+        big_ed = jnp.float32(3.0e38)
+        key = jnp.where(overlap, near, big_ed)
+        order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+        ed = jnp.pad(
+            jnp.take_along_axis(key, order, axis=1),
+            ((0, 0), (0, nc_pad - nc)),
+            constant_values=3.0e38,
+        )
+    else:
+        # Compact block ids per tile (stable argsort puts overlapping
+        # blocks first, ascending), then expand each block to its
+        # cull_block consecutive chunk ids.
+        order = jnp.argsort(
+            ~overlap, axis=1, stable=True
+        ).astype(jnp.int32)
     counts = jnp.sum(overlap, axis=1, dtype=jnp.int32) * cull_block
     if cull_block > 1:
         order = (
@@ -1090,7 +1204,6 @@ def packet_closest_hit_tiled(
             + jnp.arange(cull_block, dtype=jnp.int32)[None, None, :]
         ).reshape(t_tiles, nc)
 
-    nc_pad = -(-nc // 128) * 128  # SMEM row padding
     ids = jnp.pad(order, ((0, 0), (0, nc_pad - nc)))
     tri = chunks.comp
 
@@ -1129,6 +1242,7 @@ def packet_closest_hit_tiled(
     kernel = partial(
         _mt_kernel, t_min=t_min, t_max=t_max, eps=eps,
         pid_base=float(pid_base), emit_attrs=emit_rows, any_hit=any_hit,
+        early_exit=early_exit,
     )
 
     # Index maps receive the prefetched scalars (group_live, counts,
@@ -1177,6 +1291,15 @@ def packet_closest_hit_tiled(
         out_shape.append(
             jax.ShapeDtypeStruct((32, t_tiles, ray_tile), jnp.float32)
         )
+    if early_exit:
+        # Sorted per-entry conservative entry distances (f32 SMEM),
+        # same layout/indexing as ids.
+        in_specs.append(
+            pl.BlockSpec(
+                (TILE_GROUP, 1, nc_pad), _lead, memory_space=pltpu.SMEM
+            )
+        )
+        operands.append(ed[:, None, :])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_groups,),
@@ -1461,6 +1584,7 @@ def packet_closest_hit_segmented_tiled(
     chain: bool = True,
     refine: bool = False,
     collapse: bool = True,
+    early_exit: bool = False,
 ):
     """Tiled closest hit over a segmented (beyond-VMEM) table.
 
@@ -1524,6 +1648,7 @@ def packet_closest_hit_segmented_tiled(
             t_min=t_min, t_max=t_max, eps=eps,
             cull_block=cull_block, interpret=interpret, pid_base=base,
             emit_rows=emit_rows, refine=refine, collapse=collapse,
+            early_exit=early_exit,
         )
         if emit_rows:
             t_s, id_s, rows_s = out

@@ -485,3 +485,65 @@ def test_nonfinite_shade_table_falls_back_to_gather(scenes_dir):
     np.testing.assert_allclose(f_p, f_n, atol=1e-5)
     # ...and the frame is not NaN-poisoned wholesale.
     assert np.nan_to_num(f_p).sum() > 0
+
+
+def test_early_exit_bit_exact(teatime_scene):
+    """early_exit (front-to-back sorted lists + in-loop worst-bound
+    skip, round 5) must be BIT-exact vs the default path: skipped
+    chunks satisfy t >= entry > best for every ray, and the
+    lexicographic tie-break reproduces the ascending scan's equal-t
+    winner.  Checked at the kernel level on random rays (closest,
+    rows, and the refine branch)."""
+    from rt_rs_tpu.ops.pallas.packet_trace import packet_closest_hit_tiled
+
+    cfg = ComputeConfig()
+    h = get_handler("pbvh", interpret=True)
+    accel, _ = h.build(teatime_scene, teatime_scene.pack())
+    rng = np.random.default_rng(11)
+    t_tiles, r = 32, 256
+    o = rng.normal(size=(3, t_tiles, r), scale=5.0).astype(np.float32)
+    d = rng.normal(size=(3, t_tiles, r)).astype(np.float32)
+    payload = jnp.concatenate(
+        [
+            jnp.asarray(o),
+            jnp.asarray(d),
+            jnp.zeros((2, t_tiles, r), jnp.float32),
+        ]
+    )
+    valid = jnp.asarray(rng.random((t_tiles, r)) > 0.3)
+    kw = dict(t_min=cfg.t_min, t_max=cfg.t_max, eps=cfg.eps,
+              interpret=True)
+    v = np.asarray(valid)
+    for extra in ({}, {"refine": True}, {"emit_rows": True}):
+        base = packet_closest_hit_tiled(
+            accel, payload, valid, **kw, **extra
+        )
+        fast = packet_closest_hit_tiled(
+            accel, payload, valid, early_exit=True, **kw, **extra
+        )
+        for a, b in zip(base, fast):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.ndim == 3:  # rows [32, T, r]
+                np.testing.assert_array_equal(b[:, v], a[:, v])
+            else:
+                np.testing.assert_array_equal(b[v], a[v])
+
+
+def test_early_exit_render_equal(teatime_scene):
+    """Full jitted frames with the early_exit handler knob agree with
+    the default (same tolerance class as the refine knob: the extra
+    prelude ops shift XLA fusion boundaries in surrounding glue)."""
+    res = Config(resolution=Resolution.sized(96, 64))
+    base = Renderer(
+        teatime_scene, config=res, handler="pbvh",
+        handler_kwargs=dict(interpret=True),
+    )
+    fast = Renderer(
+        teatime_scene, config=res, handler="pbvh",
+        handler_kwargs=dict(interpret=True, early_exit=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.render_frame()),
+        np.asarray(base.render_frame()),
+        rtol=1e-5, atol=1e-6,
+    )
