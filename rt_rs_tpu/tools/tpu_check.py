@@ -77,9 +77,12 @@ def main() -> int:
 
     # Rows/any-hit path vs the gather path: render one size both ways
     # (force_rows pins each branch regardless of defaults).
+    # NOTE: do NOT re-import ComputeConfig here — a function-level
+    # import makes the name local for the WHOLE function, so the
+    # handler sweep above would raise UnboundLocalError (this exact
+    # bug silently broke tpu_check for all of round 4).
     import jax.numpy as jnp
 
-    from rt_rs_tpu.config import ComputeConfig
     from rt_rs_tpu.handlers import get_handler
     from rt_rs_tpu.ops import shade
 
