@@ -123,7 +123,7 @@ def golden_check() -> bool:
     detailed manual gate."""
     from rt_rs_tpu.config import ComputeConfig
     from rt_rs_tpu.scene import presets
-    from rt_rs_tpu.utils.image import read_png
+    from rt_rs_tpu.utils.image import golden_diff_ok, read_png
 
     ok = True
     jobs = {
@@ -140,12 +140,18 @@ def golden_check() -> bool:
             ),
             handler="pbvh",
         )
-        img = r.render_image().astype(int)
-        golden = read_png(f"tests/goldens/{name}_64x48.png").astype(int)
-        diff = np.abs(img - golden)
-        good = diff.max() <= 2 and (diff > 0).mean() < 0.02
+        img = r.render_image()
+        golden = read_png(f"tests/goldens/{name}_64x48.png")
+        # Negative-material scenes route through the per-backend XLA
+        # fallback (renderer.py:107): knife-edge hit/miss pixels may
+        # flip vs the CPU golden; golden_diff_ok bounds them to real
+        # golden contrast edges.  Kernel-path scenes stay strict.
+        good, detail = golden_diff_ok(
+            img, golden,
+            allow_edge_flips=not scene.pack().no_negative_materials,
+        )
         if not good:
-            print(f"# golden FAIL: {name} max {diff.max()}", flush=True)
+            print(f"# golden FAIL: {name} {detail}", flush=True)
         ok &= good
 
     # Cross-path diffs on teatime 64x48: the collapse default (exact by

@@ -26,7 +26,7 @@ import numpy as np
 from rt_rs_tpu.config import ComputeConfig, Config, Resolution
 from rt_rs_tpu.renderer import Renderer
 from rt_rs_tpu.scene import Scene, presets
-from rt_rs_tpu.utils.image import read_png
+from rt_rs_tpu.utils.image import golden_diff_ok, read_png
 
 SCENES = "/root/reference/scenes"
 GOLDENS = "tests/goldens"
@@ -45,7 +45,13 @@ def main() -> int:
     # (beyond-VMEM -> segmented kernel).
     jobs.update(presets.golden_set())
     for name, (scene, bounces) in jobs.items():
-        golden = read_png(f"{GOLDENS}/{name}_64x48.png").astype(int)
+        golden = read_png(f"{GOLDENS}/{name}_64x48.png")
+        # Negative-material scenes route through the per-backend XLA
+        # fallback (renderer.py:107); knife-edge pixels may flip vs the
+        # CPU golden (bounded to golden contrast edges by
+        # golden_diff_ok).  Kernel-path scenes must stay strict.
+        edge_ok = not scene.pack().no_negative_materials
+        cross = {}
         for handler in HANDLERS:
             if name == "cessna" and handler == "rf_bvh":
                 # cessna has a >8-prim unsplittable cluster the RF
@@ -64,16 +70,31 @@ def main() -> int:
                 ),
                 handler=handler,
             )
-            img = r.render_image().astype(int)
-            diff = np.abs(img - golden)
-            good = diff.max() <= 2 and (diff > 0).mean() < 0.02
+            img = r.render_image()
+            cross[handler] = img
+            good, detail = golden_diff_ok(
+                img, golden, allow_edge_flips=edge_ok
+            )
             ok &= good
             print(
-                f"{name:>8} {handler:>7}: max {diff.max()} "
-                f"({(diff > 0).mean():.2%} px)  "
+                f"{name:>8} {handler:>7}: {detail}  "
                 f"{'PASS' if good else 'FAIL'}",
                 flush=True,
             )
+        if edge_ok and len(cross) > 1:
+            # Edge flips are only acceptable when every handler agrees
+            # on THIS backend — the flip must be a backend property of
+            # the shared fallback shading, not a handler divergence.
+            base_h, base_img = next(iter(cross.items()))
+            for handler, img in cross.items():
+                d = int(np.abs(img.astype(int) - base_img.astype(int)).max())
+                good = d == 0
+                ok &= good
+                print(
+                    f"{name:>8} {handler:>7} vs {base_h} on-backend: "
+                    f"max {d}  {'PASS' if good else 'FAIL'}",
+                    flush=True,
+                )
 
     # Rows/any-hit path vs the gather path: render one size both ways
     # (force_rows pins each branch regardless of defaults).
