@@ -65,6 +65,7 @@ class PacketBvhIntrs(IntrsHandler):
         refine: str = "bounces",
         collapse: bool = True,
         early_exit: bool = False,
+        seg_order: tuple[int, ...] | None = None,
     ):
         self.eps = eps
         self.target_item_count = target_item_count
@@ -105,6 +106,13 @@ class PacketBvhIntrs(IntrsHandler):
         # Front-to-back sorted lists + in-loop exit (round-5
         # prototype; bit-exact, tests/test_pbvh.py).  A/B knob.
         self.early_exit = early_exit
+        # Segment visit order (segmented tables only): a static
+        # permutation; output-exact for ANY permutation (lexicographic
+        # (t, pid) merge — packet_closest_hit_segmented_tiled).
+        # Camera-front-to-back maximizes chain pruning (-22% entries
+        # on the 50K canyon side-on, experiments/seg_order_ab.py);
+        # Renderer(seg_order="auto") picks it per frame.
+        self.seg_order = seg_order
         self.bvh_data: BvhData | None = self._data
 
     def _tag_refine(self, fn):
@@ -128,7 +136,8 @@ class PacketBvhIntrs(IntrsHandler):
 
         if isinstance(accel.coarse, SegmentedTriChunks):
             base = packet_closest_hit_segmented_tiled
-            fixed = dict(fixed, chain=self.chain)
+            fixed = dict(fixed, chain=self.chain,
+                         seg_order=self.seg_order)
         else:
             base = packet_closest_hit_tiled
         coarse = partial(base, accel.coarse, **fixed)
@@ -322,6 +331,7 @@ class PacketBvhIntrs(IntrsHandler):
         if isinstance(accel, SegmentedTriChunks):
             fn = packet_closest_hit_segmented_tiled
             kwargs["chain"] = self.chain
+            kwargs["seg_order"] = self.seg_order
         elif accel.num_chunks * accel.comp.shape[1] > MAX_VMEM_CHUNKS * TRI_CHUNK:
             # DMA streaming has no tiled entry; adapt the AoS path.
             return super().intersect_tiled_fn(accel, arrays, cfg)
@@ -364,6 +374,7 @@ class PacketBvhIntrs(IntrsHandler):
                 return None
             fn = packet_closest_hit_segmented_tiled
             kwargs["chain"] = self.chain
+            kwargs["seg_order"] = self.seg_order
         elif isinstance(accel, TriChunks) and accel.attr_t is not None:
             if not resident_fits(accel, with_attrs=True):
                 return None
@@ -424,6 +435,7 @@ class PacketBvhIntrs(IntrsHandler):
         if isinstance(accel, SegmentedTriChunks):
             fn = packet_closest_hit_segmented_tiled  # OR-merged blocked
             kwargs["chain"] = self.chain
+            kwargs["seg_order"] = self.seg_order
         elif isinstance(accel, TriChunks) and resident_fits(accel):
             fn = packet_closest_hit_tiled
         else:

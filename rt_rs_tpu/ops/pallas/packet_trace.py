@@ -1585,13 +1585,28 @@ def packet_closest_hit_segmented_tiled(
     refine: bool = False,
     collapse: bool = True,
     early_exit: bool = False,
+    seg_order: tuple[int, ...] | None = None,
 ):
     """Tiled closest hit over a segmented (beyond-VMEM) table.
 
     ``pid_base`` makes each segment's kernel test exclusion against and
-    emit GLOBAL prim ids directly, so the merge is a plain min-t select
-    (earlier segment wins ties — prim ids grow with segment index,
-    preserving the naive first-strictly-smaller semantics).
+    emit GLOBAL prim ids directly, so the merge is a min-t select with
+    a (t, pid)-lexicographic tie-break: equal-t collisions keep the
+    SMALLEST global prim id, which is exactly the naive loop's
+    first-strictly-smaller semantics regardless of segment visit
+    order.  (In scene order the tie-break is redundant — prim ids grow
+    with segment index, so the earlier segment already wins — but it
+    is what makes ``seg_order`` semantically invisible.)
+
+    ``seg_order`` (round 5) statically permutes the segment visit
+    order.  Results are EXACT for any permutation (the lexicographic
+    merge above; any-hit's OR-merge is order-independent); the point
+    is ``chain`` pruning — visiting segments camera-front-to-back lets
+    each segment's hits cap the (farther) rest, measured -22% entries
+    on the 50K-tri canyon at a side-on view where scene order happens
+    to be exactly back-to-front (experiments/seg_order_ab.py).  The
+    caller picks the order host-side from the camera (the jit cache
+    keys on it; see Renderer).
 
     ``any_hit`` ORs the per-segment blocked masks — a ray is occluded
     iff some segment occludes it.  ``emit_rows`` (requires per-segment
@@ -1616,10 +1631,19 @@ def packet_closest_hit_segmented_tiled(
     kernel; measured on TPU (PERF.md round 3)."""
     if emit_rows and any_hit:
         raise ValueError("emit_rows and any_hit are mutually exclusive")
+    n_seg = len(seg.segments)
+    if seg_order is None:
+        seg_order = tuple(range(n_seg))
+    elif sorted(seg_order) != list(range(n_seg)):
+        raise ValueError(
+            f"seg_order {seg_order!r} is not a permutation of "
+            f"range({n_seg})"
+        )
+    visit = [(seg.prim_base[s], seg.segments[s]) for s in seg_order]
     if any_hit:
         blocked = None
         valid_s = valid
-        for base, chunk_seg in zip(seg.prim_base, seg.segments):
+        for base, chunk_seg in visit:
             b_s = packet_closest_hit_tiled(
                 chunk_seg, payload, valid_s, t_cap,
                 t_min=t_min, t_max=t_max, eps=eps,
@@ -1637,7 +1661,7 @@ def packet_closest_hit_segmented_tiled(
     best_t = None
     best_id = None
     best_rows = None
-    for base, chunk_seg in zip(seg.prim_base, seg.segments):
+    for base, chunk_seg in visit:
         cap_s = t_cap
         if chain and best_t is not None:
             cap_s = (
@@ -1659,7 +1683,11 @@ def packet_closest_hit_segmented_tiled(
             if emit_rows:
                 best_rows = rows_s
         else:
-            better = t_s < best_t
+            # (t, pid)-lexicographic: equal-t keeps the smallest global
+            # prim id — visit-order invariant (see docstring).
+            better = (t_s < best_t) | (
+                (t_s == best_t) & (id_s < best_id)
+            )
             best_t = jnp.where(better, t_s, best_t)
             best_id = jnp.where(better, id_s, best_id)
             if emit_rows:

@@ -155,6 +155,36 @@ def _render_jit(
     )
 
 
+def _segmented_parts(accel):
+    """The accel's segment tuple if it is (or wraps) a segmented
+    table, else None."""
+    from rt_rs_tpu.ops.pallas.packet_trace import (
+        DualTriChunks,
+        SegmentedTriChunks,
+    )
+
+    if isinstance(accel, DualTriChunks):
+        accel = accel.coarse
+    if isinstance(accel, SegmentedTriChunks):
+        return accel.segments
+    return None
+
+
+# 26 snap directions ({-1,0,1}^3 minus the origin, normalized): the
+# quantization grid for seg_order="auto" — bounds the number of
+# distinct per-frame segment orders (jit cache entries) at 26.
+_SNAP_DIRS = np.array(
+    [
+        (x, y, z)
+        for x in (-1.0, 0.0, 1.0)
+        for y in (-1.0, 0.0, 1.0)
+        for z in (-1.0, 0.0, 1.0)
+        if (x, y, z) != (0.0, 0.0, 0.0)
+    ]
+)
+_SNAP_DIRS /= np.linalg.norm(_SNAP_DIRS, axis=1, keepdims=True)
+
+
 class Renderer:
     """Owns packed scene + accel arrays and the compiled frame fn."""
 
@@ -171,6 +201,7 @@ class Renderer:
         shadow_cull: bool = True,
         retile: bool | None = None,
         narrow: int | None = None,
+        seg_order: str | tuple | None = "auto",
     ):
         """``force_rows`` overrides the handler's rows_default for the
         kernel-emitted-rows intersect branch (None = rows for resident
@@ -180,7 +211,18 @@ class Renderer:
         the zero-contribution shadow-ray cull (A/B knob; the cull is
         output-exact — shade.trace_tiled); ``retile`` packs live ray
         tiles to the front between bounces (output-exact, see
-        shade.trace_tiled; None = the measured size default)."""
+        shade.trace_tiled; None = the measured size default);
+        ``seg_order="auto"`` (default) visits a segmented
+        (beyond-VMEM) table's segments camera-front-to-back each frame
+        — output-exact for any order (lexicographic merge,
+        packet_closest_hit_segmented_tiled) and it feeds the
+        cross-segment cap chain earlier hits: 50K canyon orbit 73.1 ->
+        68.7 ms (-6%), teapots3 flat (PERF.md round 5).  The camera
+        direction is snapped to 26 bins so at most 26 orders (jit
+        cache entries / XLA glue recompiles — the Mosaic kernels are
+        shared) exist per session; a canyon orbit used 9.  A tuple
+        fixes one explicit order; "scene" opts out (build order).
+        No-op for resident tables / handlers without the knob."""
         self.scene = scene
         self.force_rows = force_rows
         self.fuse_bounce = fuse_bounce
@@ -211,6 +253,30 @@ class Renderer:
         self.accel, self.arrays = self.handler.build(scene, arrays)
         self.stats: IntrsStats = self.handler.stats(self.accel)
 
+        # Segment visit order (see docstring).  Precompute segment AABB
+        # centers host-side once; per-frame work is a 26-way snap + an
+        # argsort over n_seg floats.
+        self.seg_order = seg_order
+        self._order_handlers: dict[tuple, IntrsHandler] = {}
+        self._seg_centers: np.ndarray | None = None
+        if seg_order not in ("scene", None):
+            segs = _segmented_parts(self.accel)
+            if segs is None or not hasattr(self.handler, "seg_order"):
+                self.seg_order = "scene"  # inapplicable -> no-op
+            elif isinstance(seg_order, tuple):
+                self._frame_handler_for(tuple(int(i) for i in seg_order))
+            else:
+                self._seg_centers = np.stack(
+                    [
+                        (
+                            np.asarray(s.bmin).min(0)
+                            + np.asarray(s.bmax).max(0)
+                        )
+                        / 2.0
+                        for s in segs
+                    ]
+                )
+
         self.camera = scene.camera
         self.camera_controller = scene.camera_controller
         if tuple(self.camera.pos) == tuple(self.camera.at) and not getattr(
@@ -232,6 +298,40 @@ class Renderer:
 
     # ------------------------------------------------------------------
 
+    def _frame_handler_for(self, order: tuple[int, ...]) -> IntrsHandler:
+        """A cached shallow handler copy pinned to one segment visit
+        order (stable object identity -> stable jit cache key)."""
+        h = self._order_handlers.get(order)
+        if h is None:
+            import copy
+
+            h = copy.copy(self.handler)
+            h.seg_order = order
+            self._order_handlers[order] = h
+        return h
+
+    def _frame_handler(self) -> IntrsHandler:
+        """The handler for THIS frame: with ``seg_order="auto"`` on a
+        segmented table, a copy pinned to the camera-front-to-back
+        segment order (camera direction snapped to ``_SNAP_DIRS``)."""
+        if self._seg_centers is None:
+            if self._order_handlers:
+                # fixed-tuple mode: the single cached copy
+                return next(iter(self._order_handlers.values()))
+            return self.handler
+        centers = self._seg_centers
+        cam = np.asarray(self.camera.pos, np.float64)
+        mid = centers.mean(0)
+        v = cam - mid
+        r = float(np.linalg.norm(v))
+        if not np.isfinite(r) or r == 0.0:
+            return self.handler
+        u = _SNAP_DIRS[int(np.argmax(_SNAP_DIRS @ (v / r)))]
+        rep = mid + u * r
+        d = np.linalg.norm(centers - rep, axis=1)
+        order = tuple(int(i) for i in np.argsort(d, kind="stable"))
+        return self._frame_handler_for(order)
+
     def render_frame(self, block: bool = True) -> jax.Array:
         """Render one frame -> [H, W, 3] float32 device array."""
         out = _render_jit(
@@ -239,7 +339,7 @@ class Renderer:
             self.accel,
             jnp.asarray(self.camera.pos, dtype=jnp.float32),
             jnp.asarray(self.camera.at, dtype=jnp.float32),
-            handler=self.handler,
+            handler=self._frame_handler(),
             cfg=self.config.compute,
             width=self.width,
             height=self.height,
@@ -323,12 +423,16 @@ class Renderer:
         )
 
     def _chained_fn(self, k: int):
-        """jit a k-frame render graph (one dispatch, orbit in-graph)."""
-        cached = self._chain_cache.get(k)
+        """jit a k-frame render graph (one dispatch, orbit in-graph).
+        With ``seg_order="auto"`` the order is pinned per DISPATCH from
+        the dispatch-start camera (exact regardless; the order is a
+        pure performance hint)."""
+        handler = self._frame_handler()
+        cached = self._chain_cache.get((k, id(handler)))
         if cached is not None:
             return cached
         kw = dict(
-            handler=self.handler, cfg=self.config.compute,
+            handler=handler, cfg=self.config.compute,
             width=self.width, height=self.height, block=self.block,
             force_rows=self.force_rows, fuse_bounce=self.fuse_bounce,
             shadow_cull=self.shadow_cull, narrow=self.narrow,
@@ -347,13 +451,12 @@ class Renderer:
                 pos = _orbit_f32(pos, at, mult)
             return jnp.stack(outs), pos
 
-        self._chain_cache[k] = chained
+        self._chain_cache[(k, id(handler))] = chained
         return chained
 
     def _animate_chained(
         self, frames, orbit_mult, on_frame, sync_every, k
     ) -> list[float]:
-        fn = self._chained_fn(k)
         mult = jnp.float32(orbit_mult)
         at = jnp.asarray(self.camera.at, jnp.float32)
         times: list[float] = []
@@ -361,6 +464,7 @@ class Renderer:
         done = 0
         t0 = time.perf_counter()
         while done < frames:
+            fn = self._chained_fn(k)  # re-resolves seg_order="auto"
             pos = jnp.asarray(self.camera.pos, jnp.float32)
             stacked, _ = fn(self.arrays, self.accel, pos, at, mult)
             m = min(k, frames - done)

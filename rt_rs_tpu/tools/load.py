@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="like --dynamic but refit-only: Morton order frozen at "
         "the rest pose, per-frame bounds recompute (implies --dynamic)",
     )
+    p.add_argument(
+        "--seg-order", choices=("auto", "scene"), default="auto",
+        help="segment visit order for beyond-VMEM scenes: 'auto' "
+        "(default) = camera front-to-back per frame (output-exact; "
+        "-6%% on the 50K canyon orbit, PERF.md round 5), 'scene' = "
+        "build order",
+    )
     return p
 
 
@@ -254,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         renderer = Renderer(
             Scene.load(args.path), config=config, handler=handler,
-            handler_kwargs=kwargs,
+            handler_kwargs=kwargs, seg_order=args.seg_order,
         )
     print(f"handler: {renderer.stats.name} ({renderer.stats.size} B)")
 

@@ -216,6 +216,19 @@ def main() -> int:
     check("collapse off vs on, segmented rows @160x120",
           no_collapse(big, force_rows=True), seg_rows, tol=0.0)
 
+    # Segment visit order must be output-invisible through the
+    # compiled kernels (the (t, pid)-lexicographic merge claim —
+    # packet_closest_hit_segmented_tiled; seg_order="auto" is the
+    # Renderer default for segmented scenes, round 5).  seg_gather
+    # above rendered with the auto order; compare the exact reverse.
+    n_seg = len(seg_r.accel.segments)
+    rev = Renderer(
+        big, config=cfg_small, handler="pbvh",
+        seg_order=tuple(reversed(range(n_seg))),
+    ).render_frame()
+    check("segment order reversed vs auto @160x120", rev, seg_gather,
+          tol=0.0)
+
     # DynamicRenderer (on-device LBVH rebuild + refit) at the rest pose
     # must match the static packet render of the same scene.
     from rt_rs_tpu.renderer import DynamicRenderer
