@@ -136,10 +136,25 @@ class PacketBvhIntrs(IntrsHandler):
 
         if isinstance(accel.coarse, SegmentedTriChunks):
             base = packet_closest_hit_segmented_tiled
-            fixed = dict(fixed, chain=self.chain,
-                         seg_order=self.seg_order)
-        else:
-            base = packet_closest_hit_tiled
+            fixed = dict(fixed, chain=self.chain)
+            # seg_order permutes COARSE segments; the fine table (no
+            # attr slices -> larger segments) generally has a
+            # different segment count, so it only shares the order
+            # when the counts happen to match — otherwise it keeps
+            # build order (exact either way; order is a perf hint).
+            so = self.seg_order
+            coarse = partial(
+                base, accel.coarse, seg_order=so, **fixed
+            )
+            if so is not None and len(accel.fine.segments) != len(so):
+                so = None
+            fine = partial(base, accel.fine, seg_order=so, **fixed)
+            def fn(payload, valid, t_cap=None, refine=False, **kw):
+                tbl = fine if refine else coarse
+                return tbl(payload, valid, t_cap, refine=refine, **kw)
+
+            return fn
+        base = packet_closest_hit_tiled
         coarse = partial(base, accel.coarse, **fixed)
         fine = partial(base, accel.fine, **fixed)
 

@@ -195,6 +195,26 @@ def test_renderer_fixed_tuple_order(scenes_dir, monkeypatch):
     np.testing.assert_array_equal(f1, f0)
 
 
+def test_renderer_auto_with_dual_tables(scenes_dir, monkeypatch):
+    """Dual-granularity tables: the auto order is derived from the
+    COARSE segments; the fine table (no attr slices -> larger
+    segments, so generally a different count) keeps build order.
+    Regression: round 5 originally applied the coarse permutation to
+    both, crashing when the counts differed (tpu_check caught it on
+    teapots3)."""
+    base = _seg_renderer(scenes_dir, monkeypatch, seg_order="scene")
+    dual = _seg_renderer(
+        scenes_dir, monkeypatch,
+        handler_kwargs={"tri_chunk_fine": 16},
+    )
+    from rt_rs_tpu.ops.pallas.packet_trace import DualTriChunks
+
+    assert isinstance(dual.accel, DualTriChunks)
+    f0 = np.asarray(base.render_frame(block=False))
+    f1 = np.asarray(dual.render_frame(block=False))
+    np.testing.assert_array_equal(f1, f0)
+
+
 def test_resident_scene_ignores_auto(scenes_dir):
     # Resident tables have no segments: the "auto" default must be a
     # silent no-op.
